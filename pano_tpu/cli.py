@@ -1,0 +1,162 @@
+"""Unified CLI — one entry point, multiple execution configs.
+
+The reference builds four separate binaries (serial_stitching,
+openmp_stitching, gpu_stitching, opencv_impl; pano.sh:36-57) that all accept
+`[--dir D] [--out F] [img...]`. Here one module dispatches on the
+implementation name:
+
+  python -m pano_tpu.cli <impl> [--dir D] [--out F] [img...]
+
+  serial  — the reference-semantics oracle on the JAX CPU backend
+            (unsuffixed timing labels, like src/serial/main.cpp)
+  tpu     — single-accelerator path on the default JAX backend
+            (accepts alias 'gpu' for pano.sh compatibility)
+  sharded — multi-chip batch/throughput path (pano_tpu.parallel)
+  opencv  — cv::Stitcher quality baseline (src/opencv/main.cpp:37-95)
+
+Exit codes and stdout/stderr lines match the reference mains
+(src/serial/main.cpp:417-452): <2 images -> error + exit(-1); success prints
+"Stitched result saved to <out>" and "Total Execution Time[ (tag)]: x ms".
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from pano_tpu.config import DEFAULT_CONFIG, PanoConfig
+from pano_tpu.io import imwrite_bgr, read_images_from_args
+from pano_tpu.timer import Timer, print_stage
+
+IMPL_ALIASES = {
+    "gpu": "tpu",        # pano.sh compatibility: 'gpu' means the accelerator
+    "openmp": "sharded",  # reference's multicore path -> our multi-chip path
+}
+IMPLS = ("serial", "tpu", "sharded", "opencv")
+
+
+def _opencv_stitch(images: List[np.ndarray]) -> Optional[np.ndarray]:
+    """cv::Stitcher baseline with the reference's tuning
+    (src/opencv/main.cpp:59-70): registration 0.6, seam 0.1, compositing 1.0,
+    confidence 0.6, horizontal wave correction."""
+    import cv2  # local import; this impl requires OpenCV
+
+    stitcher = cv2.Stitcher.create(cv2.Stitcher_PANORAMA)
+    stitcher.setRegistrationResol(0.6)
+    stitcher.setSeamEstimationResol(0.1)
+    stitcher.setCompositingResol(1.0)
+    stitcher.setPanoConfidenceThresh(0.6)
+    stitcher.setWaveCorrection(True)
+    stitcher.setWaveCorrectKind(cv2.detail.WAVE_CORRECT_HORIZ)
+
+    t = Timer()
+    print("Creating stitcher and performing stitching...", flush=True)
+    status, pano = stitcher.stitch(images)
+    print_stage("Stitching process", t.elapsed())
+    if status != cv2.Stitcher_OK:
+        print(f"Stitching failed with status {status}", file=sys.stderr)
+        return None
+    return pano
+
+
+def run(
+    impl: str,
+    argv: Sequence[str],
+    config: PanoConfig = DEFAULT_CONFIG,
+) -> int:
+    total = Timer()
+    impl = IMPL_ALIASES.get(impl, impl)
+    if impl not in IMPLS:
+        print(
+            f"Unknown implementation: {impl}\n"
+            f"Supported implementations: serial, tpu (gpu), sharded (openmp),"
+            f" opencv",
+            file=sys.stderr,
+        )
+        return -1
+
+    reader = read_images_from_args(list(argv))
+    if len(reader.images) < 2:
+        print("At least two images are required for stitching!", file=sys.stderr)
+        return -1
+
+    tag = ""
+    if impl == "opencv":
+        panorama = _opencv_stitch(reader.images)
+        tag = "OpenCV"
+    else:
+        if impl == "serial":
+            # Pin the CPU platform before JAX initializes: loading the TPU
+            # plugin costs a multi-second (sometimes minutes) handshake the
+            # serial oracle path never needs.
+            import os
+
+            os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        from pano_tpu.pipeline import stitch_all_images
+
+        if impl == "serial":
+            device = jax.devices("cpu")[0]
+            tag = ""
+        elif impl == "tpu":
+            device = jax.devices()[0]
+            tag = "TPU" if device.platform != "cpu" else ""
+            n_dev = len(jax.devices())
+            print(f"JAX backend: {jax.default_backend()}", flush=True)
+            print(f"Number of Available Devices: {n_dev}", flush=True)
+        else:  # sharded
+            import jax
+
+            from pano_tpu.parallel.shard import stitch_all_images_sharded
+
+            tag = "Sharded"
+            print(f"JAX backend: {jax.default_backend()}", flush=True)
+            print(
+                f"Number of Available Devices: {len(jax.devices())}",
+                flush=True,
+            )
+            panorama = stitch_all_images_sharded(
+                reader.images, config, timing_tag=tag
+            )
+            if panorama is None:
+                print("Panoramic stitching failed!", file=sys.stderr)
+                return -1
+            imwrite_bgr(reader.output_file, panorama)
+            print(f"Stitched result saved to {reader.output_file}", flush=True)
+            print()
+            print_stage(f"Total Execution Time ({tag})", total.elapsed())
+            return 0
+
+        panorama = stitch_all_images(
+            reader.images, config, timing_tag=tag, device=device
+        )
+
+    if panorama is None:
+        print("Panoramic stitching failed!", file=sys.stderr)
+        return -1
+
+    imwrite_bgr(reader.output_file, panorama)
+    print(f"Stitched result saved to {reader.output_file}", flush=True)
+    print()
+    label = f"Total Execution Time ({tag})" if tag else "Total Execution Time"
+    print_stage(label, total.elapsed())
+    return 0
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(
+            "Usage: python -m pano_tpu.cli <serial|tpu|sharded|opencv> "
+            "[--dir D] [--out F] [image1 image2 ...]",
+            file=sys.stderr,
+        )
+        return -1
+    return run(argv[0], argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

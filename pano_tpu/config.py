@@ -1,0 +1,93 @@
+"""Pipeline configuration — single source of truth for all hyperparameters.
+
+TPU-native re-design of the reference's option structs, which are re-declared
+identically in every implementation (reference: src/serial/main.cpp:24-40,
+src/openmp/main.cpp:28-44, src/gpu/main.cpp:28-44, src/gpu/ransac.cuh:9-14).
+Here there is exactly one definition, plus the static-shape capacities that a
+TPU/XLA implementation needs (fixed keypoint/match counts with validity masks,
+standing in for the reference's dynamic vectors and its hard caps of 10000
+keypoints / 4096 matches at src/gpu/harris_detector.cu:196 and
+src/gpu/ransac.cu:14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class HarrisOptions:
+    """Harris corner detection + SSD patch matching options.
+
+    Field defaults mirror reference HarrisCornerOptions
+    (src/serial/main.cpp:28-34).
+    """
+
+    k: float = 0.04                 # Harris detector parameter (k_)
+    nms_thresh: float = 1e6        # Harris response threshold (nmsThresh_)
+    nms_neighborhood: int = 3      # NMS window size, must be odd (nmsNeighborhood_)
+    patch_size: int = 5            # matching patch size (patchSize_)
+    max_ssd_thresh: float = 1e8    # SSD matching threshold (maxSSDThresh_)
+
+    # --- TPU static-shape capacities (no reference analog; replaces dynamic
+    # std::vector<KeyPoint> with fixed-K masked arrays; the reference's own GPU
+    # path caps at 10000, src/gpu/harris_detector.cu:196) ---
+    max_keypoints: int = 4096      # static K for top-K keypoint selection
+
+    def __post_init__(self):
+        if self.nms_neighborhood % 2 != 1:
+            raise ValueError("nms_neighborhood must be odd")
+        if self.patch_size % 2 != 1:
+            raise ValueError("patch_size must be odd")
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacOptions:
+    """RANSAC homography estimation options.
+
+    Defaults mirror reference RansacOptions (src/serial/main.cpp:36-40).
+    """
+
+    num_iterations: int = 1000     # hypothesis count (numIterations_)
+    num_samples: int = 4           # minimal sample size (numSamples_)
+    distance_threshold: float = 3.0  # inlier reprojection distance in px
+
+    # --- TPU additions ---
+    seed: int = 0                  # jax.random seed (reference uses
+    #                                nondeterministic std::random_device,
+    #                                src/serial/main.cpp:264-265; we are
+    #                                deterministic by design)
+    refine: bool = True            # least-squares re-fit on the inliers of the
+    #                                best hypothesis, as the reference GPU path
+    #                                does (src/gpu/ransac.cu:524-544)
+    min_inliers: int = 10          # quality gate before trusting the model
+    #                                (src/gpu/ransac.cu:499-511)
+
+
+@dataclasses.dataclass(frozen=True)
+class StitchOptions:
+    """Whole-pipeline options (reference PanoramicOptions is empty,
+    src/serial/main.cpp:24-26; ours actually carries the compositing and
+    execution configuration)."""
+
+    blend: str = "overlay"         # 'overlay' | 'feather' | 'multiband'
+    #                                reference implements overlay only
+    #                                (src/serial/main.cpp:380-386)
+    dtype: str = "float32"         # compute dtype for image math
+    canvas_bucket: int = 128       # canvas dims rounded up to this multiple to
+    #                                bound XLA recompilation across canvas sizes
+    interpolation: str = "bilinear"  # warp sampling, matches cv2 INTER_LINEAR
+
+
+@dataclasses.dataclass(frozen=True)
+class PanoConfig:
+    harris: HarrisOptions = dataclasses.field(default_factory=HarrisOptions)
+    ransac: RansacOptions = dataclasses.field(default_factory=RansacOptions)
+    stitch: StitchOptions = dataclasses.field(default_factory=StitchOptions)
+
+    def replace(self, **kw) -> "PanoConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PanoConfig()

@@ -1,0 +1,171 @@
+"""SSD patch matching as descriptor gather + MXU distance matrix + argmin.
+
+Reference equivalents:
+  * serial: seqHarrisMatchKeyPoints (src/serial/main.cpp:188-244) — for each
+    border-valid left keypoint, scan ALL right keypoints, SSD over a 5x5 RGB
+    patch, keep the argmin, emit a match iff ssd < maxSSDThresh;
+  * OpenMP: ompHarrisMatchKeyPoints (src/openmp/main.cpp:235-349) — dynamic
+    scheduling, SIMD row reductions, early-exit pruning;
+  * CUDA: computeSSDKernel + findBestMatchesKernel
+    (src/gpu/harris_matcher.cu:10-81) — thread-per-pair full K x K SSD matrix.
+
+TPU-native design: gather each keypoint's patch once into a (K, P*P*3)
+descriptor matrix, then SSD(i,j) = |qi|^2 + |tj|^2 - 2*qi.tj — a single
+(K, D) x (D, K) matmul on the MXU plus rank-1 terms, followed by a fused
+row argmin. All quantities are integers < 2^24 so float32 is exact.
+The descriptor dimension is zero-padded to a lane multiple for MXU tiling.
+Row-level early-exit pruning (src/openmp/main.cpp:321-325) is replaced by raw
+MXU throughput — the entire 4096x4096 distance computation is one ~2.5 GFLOP
+matmul, microseconds on the MXU.
+
+Invalid (padding / border-clipped) keypoints participate with +inf distance,
+reproducing the reference's skip-continue logic with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pano_tpu.config import HarrisOptions
+from pano_tpu.ops.harris import KeyPoints
+
+
+class Matches(NamedTuple):
+    """Fixed-capacity match set (replaces std::vector<cv::DMatch>).
+
+    Row i corresponds to query keypoint i (cv::DMatch::queryIdx == i).
+    train_idx: (K,) int32 best-match index into the train keypoint set.
+    ssd:       (K,) float32 best SSD (cv::DMatch::distance).
+    valid:     (K,) bool — query was border-valid, train exists, ssd < thresh.
+    """
+
+    train_idx: jnp.ndarray
+    ssd: jnp.ndarray
+    valid: jnp.ndarray
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def extract_patch_descriptors(
+    img_u8: jnp.ndarray, kps: KeyPoints, patch_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather P x P x 3 patches around keypoints into flat f32 descriptors.
+
+    Returns (desc (K, Dpad) float32, border_valid (K,) bool). Descriptors of
+    invalid keypoints are zeros. Border validity is the reference's clip test
+    (src/serial/main.cpp:203-206 / :213-216).
+    """
+    h, w = img_u8.shape[:2]
+    border = patch_size // 2
+    x = kps.xy[:, 0]
+    y = kps.xy[:, 1]
+
+    border_valid = (
+        (x >= border)
+        & (y >= border)
+        & (x + border < w)
+        & (y + border < h)
+        & kps.valid
+    )
+
+    offs = jnp.arange(-border, border + 1)
+    ys = jnp.clip(y[:, None] + offs[None, :], 0, h - 1)       # (K, P)
+    xs = jnp.clip(x[:, None] + offs[None, :], 0, w - 1)       # (K, P)
+    # (K, P, P, 3) gather — one pass over HBM.
+    patches = img_u8[ys[:, :, None], xs[:, None, :], :]
+    k_cap = kps.xy.shape[0]
+    desc = patches.reshape(k_cap, -1).astype(jnp.float32)
+    desc = jnp.where(border_valid[:, None], desc, 0.0)
+
+    d = desc.shape[1]
+    d_pad = _round_up(d, 128)  # MXU lane alignment
+    if d_pad != d:
+        desc = jnp.pad(desc, ((0, 0), (0, d_pad - d)))
+    return desc, border_valid
+
+
+def match_descriptors(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    max_ssd_thresh: float,
+) -> Matches:
+    """Brute-force argmin-SSD matching of query descriptors against train.
+
+    One MXU matmul for the cross terms; invalid train columns are masked to
+    +inf before the row argmin (the reference `continue`s over border-invalid
+    train keypoints, src/serial/main.cpp:213-217).
+    """
+    q_sq = jnp.sum(desc_q * desc_q, axis=1)            # (Kq,)
+    t_sq = jnp.sum(desc_t * desc_t, axis=1)            # (Kt,)
+    # DEFAULT (bf16) precision is lossless here: descriptor entries are uint8
+    # values (exactly representable in bf16) and accumulation is f32, so the
+    # MXU fast path computes the exact integer dot products.
+    dots = jnp.dot(
+        desc_q,
+        desc_t.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )                                                   # (Kq, Kt) on MXU
+    ssd = q_sq[:, None] + t_sq[None, :] - 2.0 * dots
+    ssd = jnp.where(valid_t[None, :], ssd, jnp.inf)
+
+    best_idx = jnp.argmin(ssd, axis=1).astype(jnp.int32)
+    best_ssd = jnp.min(ssd, axis=1)
+
+    valid = (
+        valid_q
+        & jnp.isfinite(best_ssd)
+        & (best_ssd < jnp.asarray(max_ssd_thresh, jnp.float32))
+    )
+    best_ssd = jnp.where(valid, best_ssd, 0.0)
+    best_idx = jnp.where(valid, best_idx, 0)
+    return Matches(train_idx=best_idx, ssd=best_ssd, valid=valid)
+
+
+def match_keypoints(
+    kps_q: KeyPoints,
+    kps_t: KeyPoints,
+    img_q: jnp.ndarray,
+    img_t: jnp.ndarray,
+    opts: HarrisOptions,
+) -> Matches:
+    """Full matching stage: descriptors for both sides, then argmin-SSD.
+
+    Signature mirrors seqHarrisMatchKeyPoints(keypointsL, keypointsR, image1,
+    image2, options) (src/serial/main.cpp:188-192): `q` is the query side
+    (the reference's keypointsL/image1), `t` the train side.
+    """
+    desc_q, bq = extract_patch_descriptors(img_q, kps_q, opts.patch_size)
+    desc_t, bt = extract_patch_descriptors(img_t, kps_t, opts.patch_size)
+    return match_descriptors(desc_q, bq, desc_t, bt, opts.max_ssd_thresh)
+
+
+def gather_match_points(
+    kps_q: KeyPoints, kps_t: KeyPoints, matches: Matches
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Materialize matched coordinate pairs for RANSAC.
+
+    Returns (pts_q (K,2) f32, pts_t (K,2) f32, valid (K,) bool) where row i
+    pairs query keypoint i with its best train keypoint — the coordinate
+    arrays RANSAC consumes (reference: keypoints1[m.queryIdx].pt /
+    keypoints2[m.trainIdx].pt, src/serial/main.cpp:275-276).
+
+    Valid matches are compacted to the front (stable), giving RANSAC a
+    contiguous [0, count) index range to sample from.
+    """
+    order = jnp.argsort(~matches.valid, stable=True)
+    pts_q = kps_q.xy[order].astype(jnp.float32)
+    pts_t = kps_t.xy[matches.train_idx[order]].astype(jnp.float32)
+    valid = matches.valid[order]
+    return pts_q, pts_t, valid

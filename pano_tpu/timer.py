@@ -1,0 +1,56 @@
+"""Stage timing with the reference's machine-readable stdout contract.
+
+Every pipeline stage in the reference prints `"<Stage Name>: x.xxx ms"` to
+stdout (src/serial/main.cpp:43-58 Timer class; printed at :182-183, :241-242,
+:301-302, :388-389, :411-412, :448-449). The benchmark layer greps those exact
+strings (benchmark_panorama.py:33-35, benchmark_serial_parallel.py:27,51-55),
+so the format is an API, not logging. We keep it byte-compatible.
+
+On TPU, honest timing requires jax.block_until_ready on the stage outputs —
+the `stage` context manager takes an optional list of arrays to block on.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterable, Optional
+
+import jax
+
+
+class Timer:
+    """Wall-clock ms timer (reference Timer, src/serial/main.cpp:43-58)."""
+
+    def __init__(self):
+        self._start = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return (time.perf_counter() - self._start) * 1e3
+
+    def reset(self) -> None:
+        self._start = time.perf_counter()
+
+
+def print_stage(name: str, ms: float) -> None:
+    # Exact reference format: fixed, 3 decimals (src/serial/main.cpp:183).
+    print(f"{name}: {ms:.3f} ms", flush=True)
+
+
+@contextlib.contextmanager
+def stage(name: str, block_on: Optional[list] = None, enabled: bool = True):
+    """Time a stage; print the reference-format line on exit.
+
+    `block_on` is a mutable list the body may append device arrays to; we
+    block_until_ready on them before stopping the clock so device async
+    dispatch doesn't make stages look free.
+    """
+    t = Timer()
+    out = block_on if block_on is not None else []
+    try:
+        yield out
+    finally:
+        if out:
+            jax.block_until_ready(out)
+        if enabled:
+            print_stage(name, t.elapsed())

@@ -1,0 +1,114 @@
+"""Unit tests: SSD matching vs a numpy oracle of the reference's
+seqHarrisMatchKeyPoints (src/serial/main.cpp:188-244)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pano_tpu.config import HarrisOptions
+from pano_tpu.ops import match
+from pano_tpu.ops.harris import KeyPoints
+
+
+def make_kps(coords, cap):
+    n = len(coords)
+    xy = np.zeros((cap, 2), np.int32)
+    if n:
+        xy[:n] = coords
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    resp = np.zeros(cap, np.float32)
+    return KeyPoints(
+        xy=jnp.asarray(xy), response=jnp.asarray(resp), valid=jnp.asarray(valid)
+    )
+
+
+def ssd_oracle(img1, img2, kps1, kps2, patch=5):
+    """Reference matching loop in numpy (uint64 SSD)."""
+    b = patch // 2
+    out = {}
+    h1, w1 = img1.shape[:2]
+    h2, w2 = img2.shape[:2]
+    for i, (x1, y1) in enumerate(kps1):
+        if x1 < b or y1 < b or x1 + b >= w1 or y1 + b >= h1:
+            continue
+        best, bj = np.iinfo(np.uint64).max, -1
+        p1 = img1[y1 - b:y1 + b + 1, x1 - b:x1 + b + 1].astype(np.int64)
+        for j, (x2, y2) in enumerate(kps2):
+            if x2 < b or y2 < b or x2 + b >= w2 or y2 + b >= h2:
+                continue
+            p2 = img2[y2 - b:y2 + b + 1, x2 - b:x2 + b + 1].astype(np.int64)
+            ssd = np.sum((p1 - p2) ** 2)
+            if ssd < best:
+                best, bj = ssd, j
+        if bj >= 0 and best < 1e8:
+            out[i] = (bj, best)
+    return out
+
+
+def test_match_exact_vs_oracle(rng):
+    img1 = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    # Plant identical patches so there are exact matches.
+    img2[10:15, 10:15] = img1[20:25, 20:25]
+    c1 = [(22, 22), (10, 10), (30, 5), (1, 1)]   # last one is border-invalid
+    c2 = [(12, 12), (25, 25), (40, 30)]
+    k1 = make_kps(c1, 8)
+    k2 = make_kps(c2, 8)
+    opts = HarrisOptions()
+
+    m = match.match_keypoints(
+        k1, k2, jnp.asarray(img1), jnp.asarray(img2), opts
+    )
+    want = ssd_oracle(img1, img2, c1, c2)
+
+    got = {
+        i: (int(t), float(s))
+        for i, (t, s, v) in enumerate(
+            zip(np.asarray(m.train_idx), np.asarray(m.ssd), np.asarray(m.valid))
+        )
+        if v
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        # f32 SSD is integer-exact in this range.
+        assert got[i][1] == float(want[i][1])
+
+
+def test_planted_identical_patch_matches_with_zero_ssd(rng):
+    img1 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img2 = np.roll(img1, 7, axis=1)  # right image = left shifted by 7
+    k1 = make_kps([(15, 16)], 4)
+    k2 = make_kps([(22, 16), (10, 5)], 4)
+    m = match.match_keypoints(
+        k1, k2, jnp.asarray(img1), jnp.asarray(img2), HarrisOptions()
+    )
+    assert bool(np.asarray(m.valid)[0])
+    assert int(np.asarray(m.train_idx)[0]) == 0
+    assert float(np.asarray(m.ssd)[0]) == 0.0
+
+
+def test_invalid_train_side_yields_no_matches(rng):
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    k1 = make_kps([(15, 15)], 4)
+    k2 = make_kps([], 4)
+    m = match.match_keypoints(
+        k1, k2, jnp.asarray(img), jnp.asarray(img), HarrisOptions()
+    )
+    assert int(m.count()) == 0
+
+
+def test_gather_match_points_compacts_valid_first(rng):
+    img1 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    k1 = make_kps([(1, 1), (15, 15), (2, 30)], 6)  # 0 and 2 border-invalid
+    k2 = make_kps([(10, 10), (20, 20)], 6)
+    m = match.match_keypoints(
+        k1, k2, jnp.asarray(img1), jnp.asarray(img2), HarrisOptions()
+    )
+    pq, pt, valid = match.gather_match_points(k1, k2, m)
+    v = np.asarray(valid)
+    # All valid entries precede all invalid ones.
+    first_invalid = np.argmin(v) if not v.all() else len(v)
+    assert not v[first_invalid:].any()
+    assert np.asarray(pq).shape == (6, 2)
