@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 2-image 4K stitch wall-clock on the mountain pair.
+
+Prints ONE JSON line:
+  {"metric": "mountain_4k_stitch_ms", "value": <ms>, "unit": "ms",
+   "vs_baseline": <speedup>}
+
+`value` is the median steady-state wall-clock of the full stitchTwoImages-
+equivalent (Harris x2 -> match -> RANSAC -> fused warp+blend, device-resident,
+including the host canvas math and H round-trip) on images/mountain
+(4156x3117), after one warmup iteration that pays XLA compilation.
+
+`vs_baseline` is measured-reference-time / our-time. The reference publishes
+no numbers (BASELINE.md); the baseline here is the reference's own OpenMP
+binary built from /root/reference and measured on this host
+(BASELINE.md "Measured numbers"), overridable via PANO_BENCH_BASELINE_MS.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# Reference openmp_stitching "Image Stitching (OpenMP)" on this host
+# (single-CPU-core machine, so OpenMP == serial here); see BASELINE.md.
+DEFAULT_BASELINE_MS = 10214.849
+
+MOUNTAIN = [
+    "/root/reference/images/mountain/mountain1.jpg",
+    "/root/reference/images/mountain/mountain2.jpg",
+]
+
+
+def main():
+    import jax
+
+    from pano_tpu.config import DEFAULT_CONFIG
+    from pano_tpu.io import imread_bgr
+    from pano_tpu.pipeline import PairStitcher
+
+    repeats = int(os.environ.get("PANO_BENCH_REPEATS", "5"))
+    baseline_ms = float(
+        os.environ.get("PANO_BENCH_BASELINE_MS", DEFAULT_BASELINE_MS)
+    )
+
+    paths = MOUNTAIN
+    if not all(os.path.exists(p) for p in paths):
+        print(json.dumps({"error": f"missing bench images: {paths}"}))
+        return 1
+
+    left = imread_bgr(paths[0])
+    right = imread_bgr(paths[1])
+
+    import jax.numpy as jnp
+
+    dev_left = jnp.asarray(left, jnp.uint8)
+    dev_right = jnp.asarray(right, jnp.uint8)
+    jax.block_until_ready((dev_left, dev_right))
+
+    stitcher = PairStitcher(DEFAULT_CONFIG, print_timing=False)
+
+    # Warmup: pays compilation for every stage + the canvas bucket.
+    pano = stitcher.stitch_pair(dev_left, dev_right)
+    if pano is None:
+        print(json.dumps({"error": "stitch failed"}))
+        return 1
+    jax.block_until_ready(pano)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        pano = stitcher.stitch_pair(dev_left, dev_right)
+        jax.block_until_ready(pano)
+        times.append((time.perf_counter() - t0) * 1e3)
+
+    value = float(np.median(times))
+    out = {
+        "metric": "mountain_4k_stitch_ms",
+        "value": round(value, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / value, 2),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,234 @@
+"""Panorama quality evaluation: PSNR / SSIM / inlier ratio / reprojection
+error / seam smoothness + threshold grading.
+
+Re-implementation of the reference's acceptance gate, evaluate_panorama.py:
+  * ORB(5000) + BF-Hamming matching between generated and reference panorama
+    (evaluate_panorama.py:8-16);
+  * cv::findHomography(RANSAC) alignment -> inlier ratio (:18-22);
+  * mean reprojection error over inliers (:25-29);
+  * warp baseline into test frame, overlap mask = any nonzero channel
+    (:32-39);
+  * PSNR over the overlap (:42-44);
+  * SSIM over the overlap (:47) — the reference calls skimage's
+    structural_similarity; this environment has no skimage, so we implement
+    the standard SSIM (Wang et al. 2004) with skimage's defaults (7x7
+    uniform window, K1=0.01, K2=0.03, data_range=255, per-channel averaged)
+    and average the SSIM map over the overlap mask;
+  * seam smoothness = mean Sobel gradient magnitude of |warped - test| along
+    the one-pixel dilated overlap boundary ring (:50-58).
+
+Grading thresholds and the printed report format match
+evaluate_panorama.py:68-119 exactly (the `pano.sh eval` output is parsed by
+humans and scripts alike).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+try:
+    import cv2  # required for ORB/findHomography/warp in the evaluator
+except Exception as e:  # pragma: no cover
+    cv2 = None
+
+GUIDELINES: Dict[str, Tuple[float, float]] = {
+    # (acceptable, good) — evaluate_panorama.py:70-76
+    "PSNR": (25, 35),
+    "SSIM": (0.80, 0.90),
+    "Inlier Ratio": (0.50, 0.70),
+    "Reprojection Error": (3.0, 1.0),
+    "Seam Smoothness": (30, 10),
+}
+LOWER_IS_BETTER = ("Reprojection Error", "Seam Smoothness")
+
+
+def _uniform_filter(img: np.ndarray, win: int) -> np.ndarray:
+    """Separable box filter with reflect padding (skimage uniform_filter)."""
+    pad = win // 2
+    out = np.pad(img, ((pad, pad), (pad, pad)), mode="reflect").astype(
+        np.float64
+    )
+    c = np.cumsum(out, axis=0)
+    out = (
+        np.vstack([c[win - 1 : win], c[win:] - c[:-win]]) / win
+    )
+    c = np.cumsum(out, axis=1)
+    out = np.hstack([c[:, win - 1 : win], c[:, win:] - c[:, :-win]]) / win
+    return out
+
+
+def ssim_map(
+    a: np.ndarray, b: np.ndarray, win: int = 7, data_range: float = 255.0
+) -> np.ndarray:
+    """SSIM index map for single-channel float images (skimage defaults)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+
+    # skimage uses unbiased covariance normalization: cov_norm = n/(n-1).
+    n = win * win
+    cov_norm = n / (n - 1)
+
+    ux = _uniform_filter(a, win)
+    uy = _uniform_filter(b, win)
+    uxx = _uniform_filter(a * a, win)
+    uyy = _uniform_filter(b * b, win)
+    uxy = _uniform_filter(a * b, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+
+    num = (2 * ux * uy + c1) * (2 * vxy + c2)
+    den = (ux * ux + uy * uy + c1) * (vx + vy + c2)
+    return num / den
+
+
+def masked_ssim(
+    a: np.ndarray, b: np.ndarray, mask: np.ndarray, win: int = 7
+) -> float:
+    """Mean SSIM over `mask`, per-channel averaged for color images.
+
+    Border pixels (within win//2 of the edge) are excluded, matching
+    skimage's valid-region cropping.
+    """
+    if a.ndim == 3:
+        vals = [
+            masked_ssim(a[..., c], b[..., c], mask, win)
+            for c in range(a.shape[2])
+        ]
+        return float(np.mean(vals))
+    pad = win // 2
+    m = mask.copy()
+    m[:pad] = m[-pad:] = False
+    m[:, :pad] = m[:, -pad:] = False
+    if not m.any():
+        return 0.0
+    smap = ssim_map(a, b, win)
+    return float(smap[m].mean())
+
+
+def compute_metrics(
+    img1: np.ndarray, img2: np.ndarray, reproj_threshold: float = 3.0
+) -> Dict[str, float]:
+    """Full metric set between a baseline and a test panorama (both BGR u8).
+
+    Mirrors evaluate_panorama.py:6-66.
+    """
+    if cv2 is None:  # pragma: no cover
+        raise RuntimeError("OpenCV required for panorama evaluation")
+
+    orb = cv2.ORB_create(5000)
+    kp1, des1 = orb.detectAndCompute(img1, None)
+    kp2, des2 = orb.detectAndCompute(img2, None)
+    if des1 is None or des2 is None:
+        raise RuntimeError("Not enough matches for homography")
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING)
+    matches = bf.match(des1, des2)
+    if len(matches) < 4:
+        raise RuntimeError("Not enough matches for homography")
+    pts1 = np.float32([kp1[m.queryIdx].pt for m in matches])
+    pts2 = np.float32([kp2[m.trainIdx].pt for m in matches])
+
+    h, inlier_mask = cv2.findHomography(
+        pts1, pts2, cv2.RANSAC, reproj_threshold
+    )
+    if h is None:
+        raise RuntimeError("Homography estimation failed")
+    inlier_mask = inlier_mask.ravel().astype(bool)
+    inlier_ratio = inlier_mask.sum() / len(inlier_mask)
+
+    pts1_h = np.concatenate(
+        [pts1, np.ones((len(pts1), 1), np.float32)], axis=1
+    ).T
+    proj = h @ pts1_h
+    proj /= proj[2]
+    reproj_err = np.linalg.norm(
+        proj[:2].T[inlier_mask] - pts2[inlier_mask], axis=1
+    ).mean()
+
+    h2, w2 = img2.shape[:2]
+    warped = cv2.warpPerspective(
+        img1,
+        h,
+        (w2, h2),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT,
+        borderValue=(0, 0, 0),
+    )
+    overlap_mask = np.any(warped != 0, axis=2)
+    if not overlap_mask.any():
+        raise RuntimeError("No overlap region found")
+
+    diff = warped.astype(np.float32) - img2.astype(np.float32)
+    mse = np.mean(diff[overlap_mask] ** 2)
+    psnr_val = 10 * np.log10((255.0**2) / mse) if mse > 0 else float("inf")
+
+    ssim_val = masked_ssim(warped, img2, overlap_mask)
+
+    gray_diff = cv2.cvtColor(cv2.absdiff(warped, img2), cv2.COLOR_BGR2GRAY)
+    gx = cv2.Sobel(gray_diff, cv2.CV_64F, 1, 0)
+    gy = cv2.Sobel(gray_diff, cv2.CV_64F, 0, 1)
+    grad_mag = np.sqrt(gx * gx + gy * gy)
+    kernel = np.ones((3, 3), np.uint8)
+    dilated = cv2.dilate(overlap_mask.astype(np.uint8), kernel)
+    seam_mask = dilated.astype(bool) & (~overlap_mask)
+    seam_smoothness = grad_mag[seam_mask].mean() if seam_mask.any() else 0.0
+
+    return {
+        "PSNR": float(psnr_val),
+        "SSIM": float(ssim_val),
+        "Inlier Ratio": float(inlier_ratio),
+        "Reprojection Error": float(reproj_err),
+        "Seam Smoothness": float(seam_smoothness),
+    }
+
+
+def grade(metrics: Dict[str, float]) -> Tuple[Dict[str, str], str]:
+    """Per-metric category + overall verdict (evaluate_panorama.py:92-119)."""
+    cats = {}
+    counts = {"good": 0, "acceptable": 0, "poor": 0}
+    for name, val in metrics.items():
+        acc, good = GUIDELINES[name]
+        if name in LOWER_IS_BETTER:
+            is_good, is_acc = val <= good, val <= acc
+        else:
+            is_good, is_acc = val >= good, val >= acc
+        cat = "good" if is_good else ("acceptable" if is_acc else "poor")
+        cats[name] = cat
+        counts[cat] += 1
+    if counts["poor"] > 0:
+        overall = "Poor"
+    elif counts["acceptable"] > 0:
+        overall = "Acceptable"
+    else:
+        overall = "Good"
+    return cats, overall
+
+
+def evaluate_quality(metrics: Dict[str, float]) -> str:
+    """Print the reference-format report; returns the overall verdict."""
+    print("Quality Levels:")
+    print("  good        : meets or exceeds the 'good' threshold")
+    print(
+        "  acceptable  : meets or exceeds the 'acceptable' threshold, "
+        "but below 'good'"
+    )
+    print("  poor        : below the 'acceptable' threshold\n")
+
+    print("Metric Ranges:")
+    for name, (acc, good) in GUIDELINES.items():
+        if name in LOWER_IS_BETTER:
+            print(f"  {name:17s}: good ≤ {good}, acceptable ≤ {acc}, else poor")
+        else:
+            print(f"  {name:17s}: good ≥ {good}, acceptable ≥ {acc}, else poor")
+    print()
+
+    cats, overall = grade(metrics)
+    for name, val in metrics.items():
+        print(f"{name:17s}: {val:.4f} [{cats[name]}]")
+    print(f"\nOverall stitching quality: {overall}")
+    return overall

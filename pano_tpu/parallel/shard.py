@@ -46,7 +46,14 @@ def make_mesh(
     n_total = len(jax.devices())
     if n_data is None:
         n_data = n_total // n_hyp
-    return jax.make_mesh((n_data, n_hyp), ("data", "hyp"))
+    # Auto axis types: we annotate boundaries (device_put / shard_map) and
+    # let the partitioner propagate, rather than threading explicit
+    # sharding-in-types through the whole pipeline.
+    return jax.make_mesh(
+        (n_data, n_hyp),
+        ("data", "hyp"),
+        axis_types=(jax.sharding.AxisType.Auto,) * 2,
+    )
 
 
 # --------------------------------------------------------------------------

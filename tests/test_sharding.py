@@ -1,0 +1,138 @@
+"""Multi-chip path tests on the 8-virtual-device CPU mesh (SURVEY §4:
+the standard JAX answer to testing sharding without hardware)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pano_tpu.config import HarrisOptions, PanoConfig, RansacOptions
+from pano_tpu.ops import match as match_ops
+from pano_tpu.ops import ransac as ransac_ops
+from pano_tpu.parallel import shard
+
+SMALL = PanoConfig(
+    harris=HarrisOptions(max_keypoints=512),
+    ransac=RansacOptions(num_iterations=512),
+)
+
+
+def checkerboard_texture(h, w, seed=0):
+    r = np.random.default_rng(seed)
+    img = np.full((h, w, 3), 30, np.uint8)
+    for _ in range(60):
+        y, x = r.integers(5, h - 12), r.integers(5, w - 12)
+        img[y : y + 8, x : x + 8] = r.integers(60, 255, 3)
+    return img
+
+
+def make_pair_batch(b, h=96, w=128, shift=32):
+    lefts, rights = [], []
+    for i in range(b):
+        base = checkerboard_texture(h, w + shift, seed=i)
+        lefts.append(base[:, shift:])
+        rights.append(base[:, :w])
+    return (
+        jnp.asarray(np.stack(lefts), jnp.uint8),
+        jnp.asarray(np.stack(rights), jnp.uint8),
+    )
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+    assert jax.default_backend() == "cpu"
+
+
+def test_estimate_homographies_batched_data_parallel():
+    mesh = shard.make_mesh(n_data=8, n_hyp=1)
+    lefts, rights = make_pair_batch(8)
+    hs, counts, ok = shard.estimate_homographies_batched(
+        lefts, rights, SMALL, mesh.__enter__() if False else mesh
+    )
+    hs = np.asarray(hs)
+    assert hs.shape == (8, 3, 3)
+    assert np.asarray(ok).all()
+    # Every pair is a pure x-translation by -32.
+    np.testing.assert_allclose(hs[:, 0, 2], -32.0, atol=1.0)
+    np.testing.assert_allclose(hs[:, 1, 2], 0.0, atol=1.0)
+
+
+def test_batched_stitch_step_with_hypothesis_sharding():
+    mesh = shard.make_mesh(n_data=4, n_hyp=2)
+    lefts, rights = make_pair_batch(4)
+    hs, counts = shard.batched_stitch_step(mesh, lefts, rights, SMALL)
+    hs = np.asarray(hs)
+    assert hs.shape == (4, 3, 3)
+    assert (np.asarray(counts) > 10).all()
+    np.testing.assert_allclose(hs[:, 0, 2], -32.0, atol=1.0)
+
+
+def test_sharded_ransac_matches_quality_of_local():
+    """Hypothesis sharding must find an equally good model."""
+    r = np.random.default_rng(0)
+    h_true = np.array([[1.0, 0.0, 20.0], [0.0, 1.0, -7.0], [0.0, 0.0, 1.0]])
+    src = r.uniform(0, 500, (256, 2))
+    dst = src + np.array([20.0, -7.0])
+    dst[:64] += r.uniform(30, 100, (64, 2))  # outliers
+    cap = 512
+    pq = np.zeros((cap, 2), np.float32)
+    pt = np.zeros((cap, 2), np.float32)
+    pq[:256], pt[:256] = src, dst
+    valid = np.zeros(cap, bool)
+    valid[:256] = True
+
+    mesh = shard.make_mesh(n_data=1, n_hyp=8)
+    opts = RansacOptions(num_iterations=512)
+
+    # Local single-shard reference.
+    local = ransac_ops.ransac_homography(
+        jnp.asarray(pq), jnp.asarray(pt), jnp.asarray(valid), opts
+    )
+
+    lefts = jnp.asarray(pq)[None]
+    # Use the internal sharded search via _ShardedPairStitcher's builder.
+    stitcher = shard._ShardedPairStitcher(
+        mesh, PanoConfig(ransac=opts), timing_tag=""
+    )
+    res = stitcher._sharded_search(
+        jnp.asarray(pq), jnp.asarray(pt), jnp.asarray(valid)
+    )
+    assert bool(res.ok)
+    assert int(res.inlier_count) >= int(local.inlier_count) - 5
+    np.testing.assert_allclose(
+        np.asarray(res.H)[0, 2], 20.0, atol=0.5
+    )
+
+
+def test_match_descriptors_sharded_equals_local(rng):
+    kq, kt, d = 64, 48, 128
+    desc_q = rng.integers(0, 255, (kq, d)).astype(np.float32)
+    desc_t = rng.integers(0, 255, (kt, d)).astype(np.float32)
+    valid_q = rng.random(kq) > 0.2
+    valid_t = rng.random(kt) > 0.2
+    args = (
+        jnp.asarray(desc_q),
+        jnp.asarray(valid_q),
+        jnp.asarray(desc_t),
+        jnp.asarray(valid_t),
+    )
+    local = match_ops.match_descriptors(*args, 1e18)
+    mesh = shard.make_mesh(n_data=8, n_hyp=1)
+    sharded = shard.match_descriptors_sharded(*args, 1e18, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(local.train_idx), np.asarray(sharded.train_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(local.valid), np.asarray(sharded.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(local.ssd), np.asarray(sharded.ssd)
+    )
+
+
+def test_stitch_all_images_sharded_end_to_end():
+    base = checkerboard_texture(96, 224, seed=5)
+    imgs = [base[:, :128].copy(), base[:, 96:224].copy()]
+    pano = shard.stitch_all_images_sharded(imgs, SMALL, timing_tag="Sharded")
+    assert pano is not None
+    assert pano.shape[1] >= 220
