@@ -63,18 +63,20 @@ def main():
 
     stitcher = PairStitcher(DEFAULT_CONFIG, print_timing=False)
 
+    from pano_tpu.timer import force_sync
+
     # Warmup: pays compilation for every stage + the canvas bucket.
     pano = stitcher.stitch_pair(dev_left, dev_right)
     if pano is None:
         print(json.dumps({"error": "stitch failed"}))
         return 1
-    jax.block_until_ready(pano)
+    force_sync(pano)
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         pano = stitcher.stitch_pair(dev_left, dev_right)
-        jax.block_until_ready(pano)
+        force_sync(pano)
         times.append((time.perf_counter() - t0) * 1e3)
 
     value = float(np.median(times))

@@ -61,6 +61,28 @@ def _opencv_stitch(images: List[np.ndarray]) -> Optional[np.ndarray]:
     return pano
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _maybe_profile():
+    """JAX profiler trace when PANO_TPU_PROFILE=<dir> is set — the TPU
+    answer to the reference's `pano.sh perf` -> `perf record -g` wrapper
+    (/root/reference/pano.sh:215-244). The xplane dump opens in
+    TensorBoard/XProf for per-op analysis."""
+    import os
+
+    trace_dir = os.environ.get("PANO_TPU_PROFILE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    print(f"Profiling to {trace_dir} (xplane)", flush=True)
+    with jax.profiler.trace(trace_dir):
+        yield
+
+
 def run(
     impl: str,
     argv: Sequence[str],
@@ -118,9 +140,10 @@ def run(
                 f"Number of Available Devices: {len(jax.devices())}",
                 flush=True,
             )
-            panorama = stitch_all_images_sharded(
-                reader.images, config, timing_tag=tag
-            )
+            with _maybe_profile():
+                panorama = stitch_all_images_sharded(
+                    reader.images, config, timing_tag=tag
+                )
             if panorama is None:
                 print("Panoramic stitching failed!", file=sys.stderr)
                 return -1
@@ -130,9 +153,10 @@ def run(
             print_stage(f"Total Execution Time ({tag})", total.elapsed())
             return 0
 
-        panorama = stitch_all_images(
-            reader.images, config, timing_tag=tag, device=device
-        )
+        with _maybe_profile():
+            panorama = stitch_all_images(
+                reader.images, config, timing_tag=tag, device=device
+            )
 
     if panorama is None:
         print("Panoramic stitching failed!", file=sys.stderr)

@@ -32,8 +32,10 @@ class HarrisOptions:
 
     # --- TPU static-shape capacities (no reference analog; replaces dynamic
     # std::vector<KeyPoint> with fixed-K masked arrays; the reference's own GPU
-    # path caps at 10000, src/gpu/harris_detector.cu:196) ---
-    max_keypoints: int = 4096      # static K for top-K keypoint selection
+    # path caps at 10000, src/gpu/harris_detector.cu:196). 8192 keeps multi-
+    # image folds healthy: keypoints spread over the growing panorama, and a
+    # small cap starves the new image's overlap region of matches. ---
+    max_keypoints: int = 8192      # static K for top-K keypoint selection
 
     def __post_init__(self):
         if self.nms_neighborhood % 2 != 1:
@@ -78,6 +80,9 @@ class StitchOptions:
     canvas_bucket: int = 128       # canvas dims rounded up to this multiple to
     #                                bound XLA recompilation across canvas sizes
     interpolation: str = "bilinear"  # warp sampling, matches cv2 INTER_LINEAR
+    use_pallas_warp: bool = True   # fast Pallas 2-pass warp kernel on TPU;
+    #                                auto-falls back to the exact XLA warp on
+    #                                CPU or for out-of-envelope homographies
 
 
 @dataclasses.dataclass(frozen=True)

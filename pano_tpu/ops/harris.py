@@ -83,32 +83,21 @@ def harris_response(gray: jnp.ndarray, k: float) -> jnp.ndarray:
     gradient products, 5x5 sigma=1 Gaussian smoothing (zero border), then the
     pointwise response.
     """
-    dtype = gray.dtype
-    gx = conv_ops.conv2d_valid_zero_border(gray, conv_ops.sobel_x_kernel(dtype))
-    gy = conv_ops.conv2d_valid_zero_border(gray, conv_ops.sobel_y_kernel(dtype))
+    gx = conv_ops.conv2d_valid_zero_border(gray, conv_ops.sobel_x_kernel())
+    gy = conv_ops.conv2d_valid_zero_border(gray, conv_ops.sobel_y_kernel())
 
     prods = jnp.stack([gx * gx, gy * gy, gx * gy])  # (3, H, W)
 
-    gk = conv_ops.gaussian_kernel(5, 1.0, dtype)
-    # One grouped conv smooths all three product planes (vs three separate
-    # passes in the reference, src/serial/main.cpp:141-143).
-    lhs = prods[None]                                   # (1, 3, H, W)
-    rhs = jnp.broadcast_to(gk[None, None], (3, 1, 5, 5)).astype(dtype)
-    sm = lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=3,
-        precision=lax.Precision.HIGHEST,
-    )[0]
-    sm = jnp.pad(sm, ((0, 0), (2, 2), (2, 2)))
+    # One fused tap-sum smooths all three product planes (vs three separate
+    # passes in the reference, src/serial/main.cpp:141-143) — the leading
+    # axis rides along through the shifted slices.
+    gk = conv_ops.gaussian_kernel(5, 1.0)
+    sm = conv_ops.conv2d_valid_zero_border(prods, gk)
     sxx, syy, sxy = sm[0], sm[1], sm[2]
 
     det = sxx * syy - sxy * sxy
     trace = sxx + syy
-    return det - jnp.asarray(k, dtype) * trace * trace
+    return det - jnp.asarray(k, gray.dtype) * trace * trace
 
 
 def _neighbor_max(resp: jnp.ndarray, neighborhood: int) -> jnp.ndarray:
@@ -161,12 +150,49 @@ def harris_detect(
         & border_ok
     )
 
-    scores = jnp.where(is_peak, resp, -jnp.inf).reshape(-1)
-    k_cap = min(opts.max_keypoints, h * w)
-    top_scores, top_idx = lax.top_k(scores, k_cap)
+    scores = jnp.where(is_peak, resp, -jnp.inf)
+
+    # Exact 2x2 block reduction before top-K: NMS peaks are pairwise
+    # non-adjacent (two adjacent pixels cannot both be strictly greater than
+    # each other), so every 2x2 block holds at most one peak and reducing to
+    # block maxima is lossless. This quarters the top_k problem — the
+    # selection, not the response math, dominates Harris on TPU.
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    padded = scores
+    if h % 2 or w % 2:
+        padded = jnp.pad(
+            scores, ((0, h2 * 2 - h), (0, w2 * 2 - w)),
+            constant_values=-jnp.inf,
+        )
+    blocks = padded.reshape(h2, 2, w2, 2)
+    bmax = blocks.max(axis=(1, 3))                      # (h2, w2)
+
+    k_cap = min(opts.max_keypoints, h2 * w2)
+    top_scores, top_bidx = lax.top_k(bmax.reshape(-1), k_cap)
     valid = jnp.isfinite(top_scores)
 
-    xy = jnp.stack([top_idx % w, top_idx // w], axis=-1).astype(jnp.int32)
+    # Recover the in-block position: compare the 4 candidates' gathered
+    # values to the block max; first equal wins (ties within a block are
+    # broken top-left, like the reference's row-major scan order). Four flat
+    # 1-D gathers with index arithmetic — strided slices / multi-axis fancy
+    # indexing force full-array relayouts on TPU (measured 120 ms vs ~0).
+    by = top_bidx // w2
+    bx = top_bidx % w2
+    flat = padded.reshape(-1)
+    wp = w2 * 2
+    cand = jnp.stack(
+        [
+            flat[(by * 2 + dy) * wp + bx * 2 + dx]
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ],
+        axis=-1,
+    )                                                    # (K, 4)
+    off = jnp.argmax(cand == top_scores[:, None], axis=1).astype(jnp.int32)
+    top_y = by.astype(jnp.int32) * 2 + off // 2
+    top_x = bx.astype(jnp.int32) * 2 + off % 2
+
+    xy = jnp.stack([top_x, top_y], axis=-1)
     # Zero out padding coords so downstream gathers stay in range.
     xy = jnp.where(valid[:, None], xy, 0)
     response = jnp.where(valid, top_scores, 0.0)

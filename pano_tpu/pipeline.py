@@ -32,9 +32,10 @@ import numpy as np
 from pano_tpu.config import DEFAULT_CONFIG, PanoConfig
 from pano_tpu.ops import harris as harris_ops
 from pano_tpu.ops import match as match_ops
+from pano_tpu.ops import pallas_warp
 from pano_tpu.ops import ransac as ransac_ops
 from pano_tpu.ops import warp as warp_ops
-from pano_tpu.timer import Timer, print_stage
+from pano_tpu.timer import Timer, force_sync, print_stage
 
 try:
     import cv2  # type: ignore
@@ -68,16 +69,20 @@ class PairStitcher:
         self.config = config
         self.print_timing = print_timing
         self.timing_tag = timing_tag
-        self._match_and_ransac = jax.jit(
-            self._match_and_ransac_impl, static_argnames=()
-        )
+        # Fused estimation: one XLA dispatch for detect x2 + match + RANSAC,
+        # results packed into a single (14,) f32 vector so the host pays
+        # exactly one device round trip per pair. Used when stage timing is
+        # off (the staged path exists for the reference's per-stage timing
+        # contract). Match points stay on device; the OpenCV fallback path
+        # fetches them lazily on the rare low-inlier branch.
+        self._fused_estimate = jax.jit(self._fused_estimate_impl)
 
     # --- device stages -----------------------------------------------------
 
     def detect(self, img_dev: jnp.ndarray) -> harris_ops.KeyPoints:
         t = Timer()
         kps = harris_ops.harris_detect_jit(img_dev, self.config.harris)
-        kps = jax.block_until_ready(kps)
+        kps = force_sync(kps)
         if self.print_timing:
             print_stage(
                 _suffix("Harris Corner Detection", self.timing_tag),
@@ -85,24 +90,44 @@ class PairStitcher:
             )
         return kps
 
-    def _match_and_ransac_impl(self, kps_q, kps_t, img_q, img_t):
+    def _fused_estimate_impl(self, left, right):
+        """detect x2 -> match -> RANSAC as one graph.
+
+        Returns (packed (14,) f32, match points) where packed =
+        [H.ravel() (9), inlier_count, num_matches, ok, match_count, 0].
+        """
+        h_opts, r_opts = self.config.harris, self.config.ransac
+        kps_l = harris_ops.harris_detect(left, h_opts)
+        kps_r = harris_ops.harris_detect(right, h_opts)
         matches = match_ops.match_keypoints(
-            kps_q, kps_t, img_q, img_t, self.config.harris
+            kps_r, kps_l, right, left, h_opts
         )
         pts_q, pts_t, valid = match_ops.gather_match_points(
-            kps_q, kps_t, matches
+            kps_r, kps_l, matches
         )
-        res = ransac_ops.ransac_homography(
-            pts_q, pts_t, valid, self.config.ransac
+        res = ransac_ops.ransac_homography(pts_q, pts_t, valid, r_opts)
+        packed = jnp.concatenate(
+            [
+                res.H.reshape(-1).astype(jnp.float32),
+                jnp.stack(
+                    [
+                        res.inlier_count.astype(jnp.float32),
+                        res.num_matches.astype(jnp.float32),
+                        res.ok.astype(jnp.float32),
+                        matches.count().astype(jnp.float32),
+                        jnp.float32(0.0),
+                    ]
+                ),
+            ]
         )
-        return matches, (pts_q, pts_t, valid), res
+        return packed, (pts_q, pts_t, valid)
 
     def match(self, kps_q, kps_t, img_q, img_t) -> match_ops.Matches:
         t = Timer()
         m = match_ops.match_keypoints(
             kps_q, kps_t, img_q, img_t, self.config.harris
         )
-        m = jax.block_until_ready(m)
+        m = force_sync(m)
         if self.print_timing:
             print_stage(
                 _suffix("Harris Corner Matching", self.timing_tag), t.elapsed()
@@ -114,7 +139,7 @@ class PairStitcher:
         res = ransac_ops.ransac_homography(
             pts_q, pts_t, valid, self.config.ransac
         )
-        res = jax.block_until_ready(res)
+        res = force_sync(res)
         if self.print_timing:
             print_stage(
                 _suffix("RANSAC Homography Estimation", self.timing_tag),
@@ -149,7 +174,15 @@ class PairStitcher:
     ) -> Optional[np.ndarray]:
         """Detect/match/RANSAC; returns H mapping right->left (float64 host),
         or None on failure. Matching treats the right image as query and the
-        left as train (src/serial/main.cpp:319-328)."""
+        left as train (src/serial/main.cpp:319-328).
+
+        With stage timing off, runs the fused single-dispatch path (one
+        device round trip per pair); with timing on, runs stage-by-stage to
+        honor the reference's per-stage timing-line contract.
+        """
+        if not self.print_timing:
+            return self._estimate_homography_fused(left_dev, right_dev)
+
         kps_left = self.detect(left_dev)
         kps_right = self.detect(right_dev)
 
@@ -179,13 +212,44 @@ class PairStitcher:
             return None
         return h
 
+    def _estimate_homography_fused(
+        self, left_dev: jnp.ndarray, right_dev: jnp.ndarray
+    ) -> Optional[np.ndarray]:
+        packed_dev, pts = self._fused_estimate(left_dev, right_dev)
+        packed = np.asarray(packed_dev)      # the single host sync per pair
+        h = packed[:9].reshape(3, 3).astype(np.float64)
+        inlier_count = int(packed[9])
+        ok = packed[11] > 0.5
+        match_count = int(packed[12])
+
+        if match_count == 0:
+            print("Not enough matched corners for stitching!", file=sys.stderr)
+            return None
+        if ok:
+            return h
+        # Low-inlier gate: fetch match points (rare path) for the OpenCV
+        # RANSAC fallback (src/gpu/ransac.cu:499-511).
+        pq, pt, valid = (np.asarray(a) for a in pts)
+        h_cv = self._opencv_fallback_h(pq, pt, valid)
+        if h_cv is not None:
+            return h_cv
+        if inlier_count > 0:
+            return h
+        print("RANSAC failed to estimate a homography matrix!", file=sys.stderr)
+        return None
+
     def composite(
         self,
         left_dev: jnp.ndarray,
         right_dev: jnp.ndarray,
         h_right_to_left: np.ndarray,
     ) -> jnp.ndarray:
-        """Canvas geometry on host, fused warp+blend on device, crop."""
+        """Canvas geometry on host, fused warp+blend on device, crop.
+
+        The expensive bilinear gather is restricted to the bucketed bbox of
+        the warped right image (the warp window); the rest of the canvas is
+        the translated left image.
+        """
         cfg = self.config.stitch
         (canvas_h, canvas_w), t_mat, (min_x, min_y) = (
             warp_ops.compute_canvas_geometry(
@@ -202,6 +266,60 @@ class PairStitcher:
         tx = int(-min_x)  # cv::Rect int conversion truncates (main.cpp:376)
         ty = int(-min_y)
 
+        # Warp window: bbox of the warped right corners in canvas coords,
+        # +2 px bilinear margin, clipped to the padded canvas, bucketed.
+        hr, wr = right_dev.shape[:2]
+        corners = warp_ops.warp_corners(m, hr, wr)
+        wx0 = max(0, int(np.floor(corners[:, 0].min())) - 2)
+        wy0 = max(0, int(np.floor(corners[:, 1].min())) - 2)
+        wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
+        wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
+        win_w = _round_up(max(wx1 - wx0, 1), cfg.canvas_bucket)
+        win_h = _round_up(max(wy1 - wy0, 1), cfg.canvas_bucket)
+        win_w = min(win_w, pad_w)
+        win_h = min(win_h, pad_h)
+        # Keep the window inside the canvas after bucketing.
+        wx0 = min(wx0, pad_w - win_w)
+        wy0 = min(wy0, pad_h - win_h)
+
+        # Fast path: Pallas 2-pass warp kernel (TPU only, in-envelope H).
+        if (
+            cfg.use_pallas_warp
+            and jax.default_backend() == "tpu"
+            and cfg.blend in ("overlay", "feather")
+            and pallas_warp.supports_homography(
+                m_inv, win_h, win_w, off_x=wx0, off_y=wy0
+            )
+        ):
+            alpha = None
+            if cfg.blend == "feather":
+                alpha = warp_ops._edge_ramp(hr, wr)
+            packed = pallas_warp.pack_bgra(right_dev, alpha)
+            params = jnp.concatenate(
+                [
+                    jnp.asarray(m_inv, jnp.float32).reshape(-1),
+                    jnp.asarray([wx0, wy0], jnp.float32),
+                ]
+            )
+            rgb_win, w_win = pallas_warp.warp_packed(
+                packed, params, win_h, win_w
+            )
+            canvas = warp_ops.blend_window_outputs(
+                left_dev,
+                rgb_win,
+                w_win,
+                jnp.asarray(tx, jnp.int32),
+                jnp.asarray(ty, jnp.int32),
+                jnp.asarray(wx0, jnp.int32),
+                jnp.asarray(wy0, jnp.int32),
+                pad_h,
+                pad_w,
+                win_h,
+                win_w,
+                cfg.blend,
+            )
+            return canvas[:canvas_h, :canvas_w]
+
         canvas = warp_ops.warp_and_blend(
             left_dev,
             right_dev,
@@ -211,6 +329,10 @@ class PairStitcher:
             pad_h,
             pad_w,
             cfg.blend,
+            win_x=jnp.asarray(wx0, jnp.int32),
+            win_y=jnp.asarray(wy0, jnp.int32),
+            win_h=win_h,
+            win_w=win_w,
         )
         return canvas[:canvas_h, :canvas_w]
 
@@ -224,7 +346,8 @@ class PairStitcher:
         if h is None:
             return None
         canvas = self.composite(left_dev, right_dev, h)
-        canvas = jax.block_until_ready(canvas)
+        if self.print_timing:
+            canvas = force_sync(canvas)
         if self.print_timing:
             print_stage(_suffix("Image Stitching", self.timing_tag), t.elapsed())
         return canvas

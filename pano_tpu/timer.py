@@ -19,6 +19,23 @@ from typing import Iterable, Optional
 import jax
 
 
+def force_sync(x):
+    """Truly wait for device values: block_until_ready + a 1-element fetch.
+
+    Some remote-tunnel platforms (e.g. the axon TPU plugin) acknowledge
+    block_until_ready before execution finishes; a tiny D2H read is the only
+    reliable execution barrier. Returns x unchanged.
+    """
+    import numpy as np
+
+    x = jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ndim") and leaf.size:
+            np.asarray(leaf[(0,) * leaf.ndim])
+            break
+    return x
+
+
 class Timer:
     """Wall-clock ms timer (reference Timer, src/serial/main.cpp:43-58)."""
 

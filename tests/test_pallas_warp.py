@@ -1,0 +1,108 @@
+"""Pallas warp kernel tests (interpret mode on CPU).
+
+The kernel itself targets TPU; interpret mode checks the algorithm —
+window math, two-pass gather logic, alpha/border semantics — against the
+exact XLA warp oracle (ops/warp.py, itself validated against cv2).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pano_tpu.ops import pallas_warp as PW
+from pano_tpu.ops import warp as W
+
+
+def run_kernel(img, m_inv, oh, ow, alpha_plane=None):
+    packed = PW.pack_bgra(jnp.asarray(img), alpha_plane)
+    params = jnp.concatenate(
+        [
+            jnp.asarray(m_inv, jnp.float32).reshape(-1),
+            jnp.zeros((2,), jnp.float32),
+        ]
+    )
+    with pltpu.force_tpu_interpret_mode():
+        rgb, w = PW.warp_packed(packed, params, oh, ow)
+    return np.asarray(PW.unpack_rgb(rgb)), np.asarray(w)
+
+
+@pytest.fixture(scope="module")
+def img(rng=None):
+    r = np.random.default_rng(7)
+    return r.integers(0, 256, (200, 300, 3)).astype(np.uint8)
+
+
+def test_identity_exact(img):
+    out, w = run_kernel(img, np.eye(3), 128, 256)
+    np.testing.assert_array_equal(out[:128, :256], img[:128, :256])
+    assert np.all(w[:128, :256] > 0.99)
+
+
+def test_fractional_translation_matches_xla(img):
+    m = np.eye(3)
+    m[0, 2], m[1, 2] = 17.5, 6.25
+    m_inv = np.linalg.inv(m)
+    out, _ = run_kernel(img, m_inv, 256, 384)
+    ref = np.asarray(
+        W.warp_perspective_u8(
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+        )
+    )
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1  # f32 rounding at .5 boundaries
+
+
+def test_projective_close_to_xla(img):
+    m = np.array(
+        [[0.97, 0.02, 12.0], [-0.015, 1.02, 4.0], [2e-5, -1e-5, 1.0]]
+    )
+    m_inv = np.linalg.inv(m)
+    assert PW.supports_homography(m_inv, 256, 384)
+    out, _ = run_kernel(img, m_inv, 256, 384)
+    ref = np.asarray(
+        W.warp_perspective_u8(
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+        )
+    )
+    d = np.abs(out.astype(int) - ref.astype(int)).max(-1)
+    # Two-pass approximation: tiny deviations allowed on a small fraction.
+    assert (d > 3).mean() < 0.01, (d.max(), (d > 3).mean())
+
+
+def test_alpha_outside_image_is_zero(img):
+    m = np.eye(3)
+    m[0, 2] = 250.0  # shifts image right; left part of canvas is off-image
+    m_inv = np.linalg.inv(m)
+    out, w = run_kernel(img, m_inv, 128, 512)
+    assert np.all(w[:, :248] < 0.05)
+    assert np.all(out[:, :248] == 0)
+    assert np.all(w[10:100, 260:500] > 0.99)
+
+
+def test_feather_alpha_plane_warps(img):
+    ramp = W._edge_ramp(200, 300)
+    m = np.eye(3)
+    m_inv = np.linalg.inv(m)
+    _, w = run_kernel(img, m_inv, 128, 256, alpha_plane=ramp)
+    expect = np.asarray(ramp)[:128, :256]
+    got = w[:128, :256]
+    # Quantized to 7 bits and clamped to >=1/127 inside the image.
+    assert np.abs(got - np.clip(expect, 1 / 127, 1)).max() < 0.02
+
+
+def test_supports_homography_rejects_extreme():
+    # 4x downscale blows the source window budget.
+    m_inv = np.diag([4.0, 4.0, 1.0])
+    assert not PW.supports_homography(m_inv, 256, 256)
+    # Heavy rotation blows the row-tilt budget.
+    th = np.deg2rad(30)
+    rot = np.array(
+        [
+            [np.cos(th), -np.sin(th), 0.0],
+            [np.sin(th), np.cos(th), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    assert not PW.supports_homography(rot, 512, 512)
