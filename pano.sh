@@ -47,8 +47,15 @@ shift
 
 case $COMMAND in
     build)
-        echo "=== Checking pano_tpu environment ==="
+        echo "=== Building pano_tpu ==="
         cd "$SCRIPT_DIR" || exit 1
+        if command -v cmake >/dev/null 2>&1; then
+            echo "Building native host library (native/pano_host.cpp)..."
+            (cd native && cmake -B build -G Ninja . >/dev/null && \
+                cmake --build build >/dev/null) \
+                && echo "native: native/build/libpano_host.so" \
+                || echo "native build failed (Python fallback will be used)"
+        fi
         "$PYTHON" - <<'EOF' || { echo "Build check failed"; exit 1; }
 import jax
 import pano_tpu

@@ -99,7 +99,21 @@ def run(
         )
         return -1
 
-    reader = read_images_from_args(list(argv))
+    # --mode fold|chain (ours; stripped before the reference-parity reader).
+    argv = list(argv)
+    mode = "fold"
+    if "--mode" in argv:
+        i = argv.index("--mode")
+        if i + 1 >= len(argv):
+            print("Error: --mode requires a value", file=sys.stderr)
+            return -1
+        mode = argv[i + 1]
+        if mode not in ("fold", "chain"):
+            print(f"Unknown mode: {mode} (fold|chain)", file=sys.stderr)
+            return -1
+        del argv[i : i + 2]
+
+    reader = read_images_from_args(argv)
     if len(reader.images) < 2:
         print("At least two images are required for stitching!", file=sys.stderr)
         return -1
@@ -155,7 +169,8 @@ def run(
 
         with _maybe_profile():
             panorama = stitch_all_images(
-                reader.images, config, timing_tag=tag, device=device
+                reader.images, config, timing_tag=tag, device=device,
+                mode=mode,
             )
 
     if panorama is None:

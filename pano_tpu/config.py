@@ -37,6 +37,14 @@ class HarrisOptions:
     # small cap starves the new image's overlap region of matches. ---
     max_keypoints: int = 8192      # static K for top-K keypoint selection
 
+    # --- matching robustness (no reference analog; the reference's raw
+    # argmin-SSD matching fails on repetitive texture — its own binaries
+    # produce single-image "panoramas" on images/oilseed. Both tests are
+    # cheap post-passes on the SSD matrix.) ---
+    ratio_thresh: float = 0.85     # Lowe ratio: best < r^2 * second-best
+    #                                (0 disables)
+    cross_check: bool = True       # mutual-nearest-neighbor check
+
     def __post_init__(self):
         if self.nms_neighborhood % 2 != 1:
             raise ValueError("nms_neighborhood must be odd")

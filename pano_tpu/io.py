@@ -38,6 +38,50 @@ except Exception:  # pragma: no cover
     from PIL import Image
 
 
+def _load_native():
+    """Native host runtime (native/pano_host.cpp): the C++ equivalent of the
+    reference's reader static library (src/reader/reader.cpp), loaded via
+    ctypes. Disable with PANO_TPU_NATIVE=0; silently falls back to cv2/PIL
+    when the shared library hasn't been built (`pano.sh build`)."""
+    if os.environ.get("PANO_TPU_NATIVE", "1") == "0":
+        return None
+    import ctypes
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join(here, "native", "build", "libpano_host.so"),
+        os.path.join(here, "libpano_host.so"),
+    ):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.ph_version.restype = ctypes.c_int
+                if lib.ph_version() != 1:
+                    return None
+                lib.ph_imread_dims.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.ph_imread_fill.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                ]
+                lib.ph_imwrite.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                ]
+                return lib
+            except OSError:
+                return None
+    return None
+
+
+_NATIVE = _load_native()
+
+
 @dataclasses.dataclass
 class ImageReaderResult:
     """Mirror of reference ImageReaderResult (src/reader/reader.hpp:8-11)."""
@@ -50,6 +94,23 @@ class ImageReaderResult:
 
 def imread_bgr(path: str) -> Optional[np.ndarray]:
     """Load an image as HxWx3 uint8 BGR; None if unreadable (cv::imread)."""
+    if _NATIVE is not None:
+        import ctypes
+
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        if _NATIVE.ph_imread_dims(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+            return None
+        buf = np.empty((h.value, w.value, 3), np.uint8)
+        if (
+            _NATIVE.ph_imread_fill(
+                path.encode(),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            )
+            != 0
+        ):
+            return None
+        return buf
     if _HAVE_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         return img
@@ -63,7 +124,19 @@ def imread_bgr(path: str) -> Optional[np.ndarray]:
 
 def imwrite_bgr(path: str, img: np.ndarray) -> bool:
     """Save an HxWx3 uint8 BGR image (cv::imwrite equivalent)."""
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if _NATIVE is not None:
+        import ctypes
+
+        return (
+            _NATIVE.ph_imwrite(
+                path.encode(),
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                img.shape[0],
+                img.shape[1],
+            )
+            == 0
+        )
     if _HAVE_CV2:
         return bool(cv2.imwrite(path, img))
     Image.fromarray(img[..., ::-1]).save(path)  # pragma: no cover

@@ -99,12 +99,20 @@ def match_descriptors(
     desc_t: jnp.ndarray,
     valid_t: jnp.ndarray,
     max_ssd_thresh: float,
+    ratio_thresh: float = 0.0,
+    cross_check: bool = False,
 ) -> Matches:
     """Brute-force argmin-SSD matching of query descriptors against train.
 
     One MXU matmul for the cross terms; invalid train columns are masked to
     +inf before the row argmin (the reference `continue`s over border-invalid
     train keypoints, src/serial/main.cpp:213-217).
+
+    Robustness additions over the reference's raw argmin (both cheap
+    post-passes on the SSD matrix, defaults set in HarrisOptions):
+      * Lowe ratio test: reject if best >= ratio^2 * second-best — kills
+        ambiguous matches on repetitive texture;
+      * cross check: require the match to be a mutual nearest neighbor.
     """
     q_sq = jnp.sum(desc_q * desc_q, axis=1)            # (Kq,)
     t_sq = jnp.sum(desc_t * desc_t, axis=1)            # (Kt,)
@@ -128,6 +136,28 @@ def match_descriptors(
         & jnp.isfinite(best_ssd)
         & (best_ssd < jnp.asarray(max_ssd_thresh, jnp.float32))
     )
+
+    if ratio_thresh > 0.0:
+        cols = jnp.arange(ssd.shape[1], dtype=jnp.int32)
+        ssd_wo_best = jnp.where(
+            cols[None, :] == best_idx[:, None], jnp.inf, ssd
+        )
+        second = jnp.min(ssd_wo_best, axis=1)
+        r2 = jnp.asarray(ratio_thresh * ratio_thresh, jnp.float32)
+        # SSD is a squared distance, so the ratio applies squared. A missing
+        # second neighbor (inf) passes.
+        valid = valid & (
+            ~jnp.isfinite(second) | (best_ssd < r2 * second)
+        )
+
+    if cross_check:
+        col_best = jnp.argmin(
+            jnp.where(valid_q[:, None], ssd, jnp.inf), axis=0
+        ).astype(jnp.int32)
+        rows = jnp.arange(ssd.shape[0], dtype=jnp.int32)
+        mutual = col_best[best_idx] == rows
+        valid = valid & mutual
+
     best_ssd = jnp.where(valid, best_ssd, 0.0)
     best_idx = jnp.where(valid, best_idx, 0)
     return Matches(train_idx=best_idx, ssd=best_ssd, valid=valid)
@@ -148,7 +178,15 @@ def match_keypoints(
     """
     desc_q, bq = extract_patch_descriptors(img_q, kps_q, opts.patch_size)
     desc_t, bt = extract_patch_descriptors(img_t, kps_t, opts.patch_size)
-    return match_descriptors(desc_q, bq, desc_t, bt, opts.max_ssd_thresh)
+    return match_descriptors(
+        desc_q,
+        bq,
+        desc_t,
+        bt,
+        opts.max_ssd_thresh,
+        ratio_thresh=opts.ratio_thresh,
+        cross_check=opts.cross_check,
+    )
 
 
 def gather_match_points(

@@ -161,6 +161,32 @@ def warp_perspective_u8(
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
+def _multiband_compose(
+    left_f: jnp.ndarray,    # (H, W, 3) f32
+    right_f: jnp.ndarray,   # (H, W, 3) f32
+    w_left: jnp.ndarray,    # (H, W) f32 >= 0
+    w_right: jnp.ndarray,   # (H, W) f32 >= 0
+) -> jnp.ndarray:
+    """Laplacian-pyramid composite of the overlap window -> uint8.
+
+    Invalid regions of each image are pre-filled with the other so pyramid
+    blurs don't bleed black across the seam; the seam mask prefers whichever
+    image is 'deeper' (larger feather weight) at each pixel.
+    """
+    from pano_tpu.ops import blend as blend_ops
+
+    has_l = w_left > 0.0
+    has_r = w_right > 0.0
+    a = jnp.where(has_l[..., None], left_f, right_f)
+    b = jnp.where(has_r[..., None], right_f, left_f)
+    mask = jnp.where(
+        has_r & (~has_l | (w_right > w_left)), 1.0, 0.0
+    ).astype(jnp.float32)
+    out = blend_ops.laplacian_blend(a, b, mask, levels=5)
+    out = jnp.where((has_l | has_r)[..., None], out, 0.0)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
 def _edge_ramp(h: int, w: int) -> jnp.ndarray:
     """Feather weight map: distance to nearest image edge, normalized."""
     ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -233,6 +259,17 @@ def blend_window_outputs(
             only_right[..., None], warped_right.astype(jnp.float32), win_f
         )
         win_out = jnp.clip(jnp.round(win_f), 0, 255).astype(jnp.uint8)
+    elif blend == "multiband":
+        ramp_l = _edge_ramp(hl, wl)
+        canvas_wl = jnp.zeros((out_h, out_w), jnp.float32)
+        canvas_wl = lax.dynamic_update_slice(canvas_wl, ramp_l, (ty, tx))
+        w_left = lax.dynamic_slice(canvas_wl, (win_y, win_x), (win_h, win_w))
+        win_out = _multiband_compose(
+            left_win.astype(jnp.float32),
+            warped_right.astype(jnp.float32),
+            w_left,
+            w_win,
+        )
     else:
         raise ValueError(f"unknown blend mode: {blend}")
 
@@ -326,6 +363,20 @@ def warp_and_blend(
         )
         win_f = jnp.where(only_right[..., None], right_f, win_f)
         win_out = jnp.clip(jnp.round(win_f), 0, 255).astype(jnp.uint8)
+    elif blend == "multiband":
+        hr, wr = right.shape[:2]
+        ramp_r = _edge_ramp(hr, wr)
+        wr_map, _ = _bilinear_sample_u8(
+            (ramp_r[..., None] * 255.0).astype(jnp.uint8), sx, sy
+        )
+        w_right = (wr_map[..., 0] / 255.0) * right_w
+        ramp_l = _edge_ramp(hl, wl)
+        canvas_wl = jnp.zeros((out_h, out_w), jnp.float32)
+        canvas_wl = lax.dynamic_update_slice(canvas_wl, ramp_l, (ty, tx))
+        w_left = lax.dynamic_slice(canvas_wl, (win_y, win_x), (win_h, win_w))
+        win_out = _multiband_compose(
+            left_win.astype(jnp.float32), right_f, w_left, w_right
+        )
     else:
         raise ValueError(f"unknown blend mode: {blend}")
 

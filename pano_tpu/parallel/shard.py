@@ -175,6 +175,37 @@ def batched_stitch_step(
     return jax.jit(fn)(lefts, rights)
 
 
+def stitch_pairs_batched(
+    lefts: jnp.ndarray,          # (B, H, W, 3) uint8 — same-shape pairs
+    rights: jnp.ndarray,         # (B, H, W, 3) uint8
+    config: PanoConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+) -> List[Optional[np.ndarray]]:
+    """Throughput mode: stitch a batch of independent pairs.
+
+    Homography estimation runs batched and sharded over the mesh's 'data'
+    axis (estimate_homographies_batched); compositing runs per pair (canvas
+    sizes are data-dependent). Returns a list of host uint8 panoramas (None
+    for failed pairs).
+    """
+    from pano_tpu.pipeline import PairStitcher
+
+    hs, counts, ok = estimate_homographies_batched(
+        lefts, rights, config, mesh
+    )
+    hs = np.asarray(hs, np.float64)
+    ok = np.asarray(ok)
+    stitcher = PairStitcher(config, print_timing=False)
+    out: List[Optional[np.ndarray]] = []
+    for b in range(lefts.shape[0]):
+        if not ok[b]:
+            out.append(None)
+            continue
+        canvas = stitcher.composite(lefts[b], rights[b], hs[b])
+        out.append(np.asarray(canvas))
+    return out
+
+
 # --------------------------------------------------------------------------
 # Sharded matching (query rows over devices)
 # --------------------------------------------------------------------------

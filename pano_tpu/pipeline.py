@@ -286,13 +286,13 @@ class PairStitcher:
         if (
             cfg.use_pallas_warp
             and jax.default_backend() == "tpu"
-            and cfg.blend in ("overlay", "feather")
+            and cfg.blend in ("overlay", "feather", "multiband")
             and pallas_warp.supports_homography(
                 m_inv, win_h, win_w, off_x=wx0, off_y=wy0
             )
         ):
             alpha = None
-            if cfg.blend == "feather":
+            if cfg.blend in ("feather", "multiband"):
                 alpha = warp_ops._edge_ramp(hr, wr)
             packed = pallas_warp.pack_bgra(right_dev, alpha)
             params = jnp.concatenate(
@@ -359,12 +359,26 @@ def stitch_all_images(
     print_timing: bool = True,
     timing_tag: str = "",
     device: Optional[jax.Device] = None,
+    mode: str = "fold",
 ) -> Optional[np.ndarray]:
-    """Left-fold stitching (stitchAllImages, src/serial/main.cpp:395-414).
+    """Multi-image stitching. Returns host uint8 BGR.
 
-    Failed pairs are skipped and the fold continues with the previous
-    panorama (src/serial/main.cpp:404-407). Returns host uint8 BGR.
+    mode='fold' (default): the reference's left-fold — each new image is
+    stitched against the growing panorama (stitchAllImages,
+    src/serial/main.cpp:395-414); failed pairs are skipped and the fold
+    continues (src/serial/main.cpp:404-407).
+
+    mode='chain': the TPU-idiomatic algorithm — detect once per SOURCE image
+    (never on resampled panoramas), estimate homographies between adjacent
+    originals, compose them into the first image's frame, and composite all
+    images onto one globally-sized canvas. Fewer XLA shapes (one detect
+    graph per input resolution, one warp graph), better keypoint quality,
+    same output semantics.
     """
+    if mode == "chain":
+        return stitch_all_images_chain(
+            images, config, print_timing, timing_tag, device
+        )
     t = Timer()
     if not images:
         return None
@@ -386,3 +400,146 @@ def stitch_all_images(
     if print_timing:
         print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
     return np.asarray(panorama)
+
+
+def stitch_all_images_chain(
+    images: List[np.ndarray],
+    config: PanoConfig = DEFAULT_CONFIG,
+    print_timing: bool = True,
+    timing_tag: str = "",
+    device: Optional[jax.Device] = None,
+) -> Optional[np.ndarray]:
+    """Chained-homography stitching (see stitch_all_images mode='chain')."""
+    t = Timer()
+    if not images:
+        return None
+    cfg = config.stitch
+    stitcher = PairStitcher(config, print_timing, timing_tag)
+
+    def to_dev(a):
+        arr = jnp.asarray(a, dtype=jnp.uint8)
+        return jax.device_put(arr, device) if device is not None else arr
+
+    devs = [to_dev(img) for img in images]
+    n = len(devs)
+
+    # Pairwise homographies between ORIGINAL images; on failure, re-anchor
+    # against the last successfully-chained image (the fold's skip semantics,
+    # src/serial/main.cpp:404-407, transplanted to the chain).
+    globals_h: List[Optional[np.ndarray]] = [np.eye(3)]
+    last_good = 0
+    for i in range(1, n):
+        print(f"Stitching image {i + 1} of {n}...", flush=True)
+        h = stitcher.estimate_homography(devs[last_good], devs[i])
+        if h is None:
+            print(f"Failed to stitch image {i}!", file=sys.stderr)
+            globals_h.append(None)
+            continue
+        globals_h.append(globals_h[last_good] @ h)
+        last_good = i
+
+    # Global canvas bounds over all chained images (frame of image 0).
+    min_x = min_y = 0.0
+    max_y, max_x = float(images[0].shape[0]), float(images[0].shape[1])
+    for i in range(1, n):
+        if globals_h[i] is None:
+            continue
+        hr, wr = images[i].shape[:2]
+        corners = warp_ops.warp_corners(globals_h[i], hr, wr)
+        min_x = min(min_x, corners[:, 0].min())
+        min_y = min(min_y, corners[:, 1].min())
+        max_x = max(max_x, corners[:, 0].max())
+        max_y = max(max_y, corners[:, 1].max())
+
+    t_mat = np.array(
+        [[1.0, 0.0, -min_x], [0.0, 1.0, -min_y], [0.0, 0.0, 1.0]]
+    )
+    canvas_h = int(np.ceil(max_y - min_y))
+    canvas_w = int(np.ceil(max_x - min_x))
+    pad_h = _round_up(canvas_h, cfg.canvas_bucket)
+    pad_w = _round_up(canvas_w, cfg.canvas_bucket)
+
+    # Composite: place image 0, then warp+blend every chained image onto the
+    # SAME canvas (one warp graph for all steps — the canvas never grows).
+    canvas = jnp.zeros((pad_h, pad_w, 3), jnp.uint8)
+    canvas = jax.lax.dynamic_update_slice(
+        canvas,
+        devs[0],
+        (
+            jnp.asarray(int(-min_y), jnp.int32),
+            jnp.asarray(int(-min_x), jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        ),
+    )
+    zero = jnp.asarray(0, jnp.int32)
+    for i in range(1, n):
+        if globals_h[i] is None:
+            continue
+        m = t_mat @ globals_h[i]
+        m_inv = np.linalg.inv(m)
+        hr, wr = images[i].shape[:2]
+        corners = warp_ops.warp_corners(m, hr, wr)
+        wx0 = max(0, int(np.floor(corners[:, 0].min())) - 2)
+        wy0 = max(0, int(np.floor(corners[:, 1].min())) - 2)
+        wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
+        wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
+        win_w = min(_round_up(max(wx1 - wx0, 1), cfg.canvas_bucket), pad_w)
+        win_h = min(_round_up(max(wy1 - wy0, 1), cfg.canvas_bucket), pad_h)
+        wx0 = min(wx0, pad_w - win_w)
+        wy0 = min(wy0, pad_h - win_h)
+
+        if (
+            cfg.use_pallas_warp
+            and jax.default_backend() == "tpu"
+            and cfg.blend in ("overlay", "feather", "multiband")
+            and pallas_warp.supports_homography(
+                m_inv, win_h, win_w, off_x=wx0, off_y=wy0
+            )
+        ):
+            alpha = None
+            if cfg.blend in ("feather", "multiband"):
+                alpha = warp_ops._edge_ramp(hr, wr)
+            packed = pallas_warp.pack_bgra(devs[i], alpha)
+            params = jnp.concatenate(
+                [
+                    jnp.asarray(m_inv, jnp.float32).reshape(-1),
+                    jnp.asarray([wx0, wy0], jnp.float32),
+                ]
+            )
+            rgb_win, w_win = pallas_warp.warp_packed(
+                packed, params, win_h, win_w
+            )
+            canvas = warp_ops.blend_window_outputs(
+                canvas,
+                rgb_win,
+                w_win,
+                zero,
+                zero,
+                jnp.asarray(wx0, jnp.int32),
+                jnp.asarray(wy0, jnp.int32),
+                pad_h,
+                pad_w,
+                win_h,
+                win_w,
+                cfg.blend,
+            )
+        else:
+            canvas = warp_ops.warp_and_blend(
+                canvas,
+                devs[i],
+                jnp.asarray(m_inv, jnp.float32),
+                zero,
+                zero,
+                pad_h,
+                pad_w,
+                cfg.blend,
+                win_x=jnp.asarray(wx0, jnp.int32),
+                win_y=jnp.asarray(wy0, jnp.int32),
+                win_h=win_h,
+                win_w=win_w,
+            )
+
+    result = np.asarray(canvas[:canvas_h, :canvas_w])
+    if print_timing:
+        print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
+    return result

@@ -54,7 +54,8 @@ def test_match_exact_vs_oracle(rng):
     c2 = [(12, 12), (25, 25), (40, 30)]
     k1 = make_kps(c1, 8)
     k2 = make_kps(c2, 8)
-    opts = HarrisOptions()
+    # Reference-parity mode: raw argmin without the robustness filters.
+    opts = HarrisOptions(ratio_thresh=0.0, cross_check=False)
 
     m = match.match_keypoints(
         k1, k2, jnp.asarray(img1), jnp.asarray(img2), opts
@@ -96,6 +97,45 @@ def test_invalid_train_side_yields_no_matches(rng):
         k1, k2, jnp.asarray(img), jnp.asarray(img), HarrisOptions()
     )
     assert int(m.count()) == 0
+
+
+def test_ratio_test_rejects_ambiguous(rng):
+    img1 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)
+    # Two nearly identical train patches, both slightly different from the
+    # query (best SSD > 0, second within the ratio) -> ambiguous.
+    patch = img1[10:15, 10:15]
+    noisy1 = patch.astype(np.int32) + rng.integers(-4, 5, patch.shape)
+    noisy2 = patch.astype(np.int32) + rng.integers(-4, 5, patch.shape)
+    img2[10:15, 10:15] = noisy1.clip(0, 255).astype(np.uint8)
+    img2[10:15, 40:45] = noisy2.clip(0, 255).astype(np.uint8)
+    k1 = make_kps([(12, 12)], 4)
+    k2 = make_kps([(12, 12), (42, 12)], 4)
+    loose = HarrisOptions(ratio_thresh=0.0, cross_check=False)
+    strict = HarrisOptions(ratio_thresh=0.85, cross_check=False)
+    m_loose = match.match_keypoints(
+        k1, k2, jnp.asarray(img1), jnp.asarray(img2), loose
+    )
+    m_strict = match.match_keypoints(
+        k1, k2, jnp.asarray(img1), jnp.asarray(img2), strict
+    )
+    assert bool(np.asarray(m_loose.valid)[0])      # raw argmin accepts
+    assert not bool(np.asarray(m_strict.valid)[0])  # ratio test rejects
+
+
+def test_cross_check_requires_mutual(rng):
+    img1 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    img2[10:15, 10:15] = img1[10:15, 10:15]  # one true correspondence
+    k1 = make_kps([(12, 12), (20, 20)], 4)
+    k2 = make_kps([(12, 12)], 4)
+    opts = HarrisOptions(ratio_thresh=0.0, cross_check=True)
+    m = match.match_keypoints(
+        k1, k2, jnp.asarray(img1), jnp.asarray(img2), opts
+    )
+    v = np.asarray(m.valid)
+    assert bool(v[0])       # mutual nearest neighbors
+    assert not bool(v[1])   # (20,20) -> (12,12) is not reciprocated
 
 
 def test_gather_match_points_compacts_valid_first(rng):

@@ -107,6 +107,35 @@ def test_stitch_all_left_fold_three_images():
     assert pano.shape[1] >= 270  # covers nearly the full mosaic width
 
 
+def test_stitch_all_chain_mode():
+    base = checkerboard_texture(128, 280, seed=2)
+    imgs = [
+        base[:, 0:140].copy(),
+        base[:, 70:210].copy(),
+        base[:, 140:280].copy(),
+    ]
+    pano = stitch_all_images(imgs, SMALL, print_timing=False, mode="chain")
+    assert pano is not None
+    assert pano.shape[0] >= 128
+    assert pano.shape[1] >= 270
+    # Chain composites against originals: the mosaic should closely match.
+    hmin = min(pano.shape[0], 128)
+    d = np.abs(
+        pano[:hmin, :270].astype(int) - base[:hmin, :270].astype(int)
+    ).max(-1)
+    assert (d > 30).mean() < 0.08, (d > 30).mean()
+
+
+def test_stitch_all_chain_skips_failed_image():
+    base = checkerboard_texture(128, 220, seed=3)
+    flat = np.zeros((128, 140, 3), np.uint8)
+    imgs = [base[:, 0:140].copy(), flat, base[:, 80:220].copy()]
+    pano = stitch_all_images(imgs, SMALL, print_timing=False, mode="chain")
+    # Failed middle image is skipped; image 3 re-anchors against image 1.
+    assert pano is not None
+    assert pano.shape[1] >= 210
+
+
 def test_stitch_all_skips_failed_pair():
     base = checkerboard_texture(128, 220, seed=3)
     flat = np.zeros((128, 140, 3), np.uint8)  # featureless -> no matches

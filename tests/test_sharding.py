@@ -130,6 +130,16 @@ def test_match_descriptors_sharded_equals_local(rng):
     )
 
 
+def test_stitch_pairs_batched_throughput_mode():
+    mesh = shard.make_mesh(n_data=4, n_hyp=1)
+    lefts, rights = make_pair_batch(4)
+    panos = shard.stitch_pairs_batched(lefts, rights, SMALL, mesh)
+    assert len(panos) == 4
+    for p in panos:
+        assert p is not None
+        assert p.shape[1] >= 150  # 128 + ~32 shift
+
+
 def test_stitch_all_images_sharded_end_to_end():
     base = checkerboard_texture(96, 224, seed=5)
     imgs = [base[:, :128].copy(), base[:, 96:224].copy()]
