@@ -99,19 +99,50 @@ def run(
         )
         return -1
 
-    # --mode fold|chain (ours; stripped before the reference-parity reader).
+    # Extended flags (ours; stripped before the reference-parity reader):
+    #   --mode fold|chain              multi-image strategy
+    #   --blend overlay|feather|multiband   compositing (reference: overlay)
+    #   --kpts N / --iters N           keypoint cap / RANSAC iterations
     argv = list(argv)
-    mode = "fold"
-    if "--mode" in argv:
-        i = argv.index("--mode")
+
+    def take_flag(name, allowed=None):
+        if name not in argv:
+            return None
+        i = argv.index(name)
         if i + 1 >= len(argv):
-            print("Error: --mode requires a value", file=sys.stderr)
-            return -1
-        mode = argv[i + 1]
-        if mode not in ("fold", "chain"):
-            print(f"Unknown mode: {mode} (fold|chain)", file=sys.stderr)
-            return -1
+            print(f"Error: {name} requires a value", file=sys.stderr)
+            raise SystemExit(-1)
+        val = argv[i + 1]
         del argv[i : i + 2]
+        if allowed and val not in allowed:
+            print(f"Unknown {name}: {val} ({'|'.join(allowed)})",
+                  file=sys.stderr)
+            raise SystemExit(-1)
+        return val
+
+    mode = take_flag("--mode", ("fold", "chain")) or "fold"
+    blend = take_flag("--blend", ("overlay", "feather", "multiband"))
+    kpts = take_flag("--kpts")
+    iters = take_flag("--iters")
+    if blend or kpts or iters:
+        import dataclasses
+
+        if blend:
+            config = config.replace(
+                stitch=dataclasses.replace(config.stitch, blend=blend)
+            )
+        if kpts:
+            config = config.replace(
+                harris=dataclasses.replace(
+                    config.harris, max_keypoints=int(kpts)
+                )
+            )
+        if iters:
+            config = config.replace(
+                ransac=dataclasses.replace(
+                    config.ransac, num_iterations=int(iters)
+                )
+            )
 
     reader = read_images_from_args(argv)
     if len(reader.images) < 2:

@@ -214,9 +214,20 @@ def blend_window_outputs(
     win_h: int,
     win_w: int,
     blend: str = "overlay",
-) -> jnp.ndarray:
+    w_left_win: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite a Pallas-warped window (ops.pallas_warp outputs) with the
-    translated left image — the XLA epilogue of the fast warp path."""
+    translated left image — the XLA epilogue of the fast warp path.
+
+    `w_left_win` is the left side's coverage weight over the window. Chain
+    mode maintains an exact accumulated weight canvas and passes its window
+    slice; when absent (pair mode) the weight is derived from the left
+    image's edge ramp masked by nonblack coverage.
+
+    Returns (canvas, new_w_left_win) where new_w_left_win is the merged
+    coverage weight of the window after compositing (chain mode writes it
+    back into its weight canvas).
+    """
     hl, wl = left.shape[:2]
     warped_right = jnp.stack(
         [
@@ -226,24 +237,38 @@ def blend_window_outputs(
         ],
         axis=-1,
     )
-    canvas_left = jnp.zeros((out_h, out_w, 3), jnp.uint8)
-    canvas_left = lax.dynamic_update_slice(
-        canvas_left, left, (ty, tx, jnp.asarray(0, ty.dtype))
-    )
+    if left.shape[:2] == (out_h, out_w):
+        # Chain mode: `left` is already the full canvas — no placement copy.
+        canvas_left = left
+    else:
+        canvas_left = jnp.zeros((out_h, out_w, 3), jnp.uint8)
+        canvas_left = lax.dynamic_update_slice(
+            canvas_left, left, (ty, tx, jnp.asarray(0, ty.dtype))
+        )
     left_win = lax.dynamic_slice(
         canvas_left,
         (win_y, win_x, jnp.asarray(0, win_y.dtype)),
         (win_h, win_w, 3),
     )
 
+    if w_left_win is None:
+        # Derive the left coverage weight: geometric edge ramp masked by
+        # actual pixel coverage (a composed left canvas has black holes the
+        # ramp alone cannot see).
+        ramp_l = _edge_ramp(hl, wl)
+        canvas_wl = jnp.zeros((out_h, out_w), jnp.float32)
+        canvas_wl = lax.dynamic_update_slice(canvas_wl, ramp_l, (ty, tx))
+        w_left_win = lax.dynamic_slice(
+            canvas_wl, (win_y, win_x), (win_h, win_w)
+        )
+        left_nonblack = jnp.any(left_win != 0, axis=-1)
+        w_left_win = jnp.where(left_nonblack, w_left_win, 0.0)
+
     if blend == "overlay":
         right_nonblack = rgb_win != 0
         win_out = jnp.where(right_nonblack[..., None], warped_right, left_win)
     elif blend == "feather":
-        ramp_l = _edge_ramp(hl, wl)
-        canvas_wl = jnp.zeros((out_h, out_w), jnp.float32)
-        canvas_wl = lax.dynamic_update_slice(canvas_wl, ramp_l, (ty, tx))
-        w_left = lax.dynamic_slice(canvas_wl, (win_y, win_x), (win_h, win_w))
+        w_left = w_left_win
         w_right = w_win
         total = jnp.maximum(w_left + w_right, 1e-6)
         blended = (
@@ -260,22 +285,20 @@ def blend_window_outputs(
         )
         win_out = jnp.clip(jnp.round(win_f), 0, 255).astype(jnp.uint8)
     elif blend == "multiband":
-        ramp_l = _edge_ramp(hl, wl)
-        canvas_wl = jnp.zeros((out_h, out_w), jnp.float32)
-        canvas_wl = lax.dynamic_update_slice(canvas_wl, ramp_l, (ty, tx))
-        w_left = lax.dynamic_slice(canvas_wl, (win_y, win_x), (win_h, win_w))
         win_out = _multiband_compose(
             left_win.astype(jnp.float32),
             warped_right.astype(jnp.float32),
-            w_left,
+            w_left_win,
             w_win,
         )
     else:
         raise ValueError(f"unknown blend mode: {blend}")
 
-    return lax.dynamic_update_slice(
+    new_w = jnp.maximum(w_left_win, w_win)
+    canvas = lax.dynamic_update_slice(
         canvas_left, win_out, (win_y, win_x, jnp.asarray(0, win_y.dtype))
     )
+    return canvas, new_w
 
 
 @functools.partial(
@@ -349,6 +372,8 @@ def warp_and_blend(
         canvas_wl = jnp.zeros((out_h, out_w), jnp.float32)
         canvas_wl = lax.dynamic_update_slice(canvas_wl, ramp_l, (ty, tx))
         w_left = lax.dynamic_slice(canvas_wl, (win_y, win_x), (win_h, win_w))
+        # Mask by actual coverage: a composed left canvas has black holes.
+        w_left = jnp.where(jnp.any(left_win != 0, axis=-1), w_left, 0.0)
 
         total = jnp.maximum(w_left + w_right, 1e-6)
         blended = (
@@ -374,6 +399,7 @@ def warp_and_blend(
         canvas_wl = jnp.zeros((out_h, out_w), jnp.float32)
         canvas_wl = lax.dynamic_update_slice(canvas_wl, ramp_l, (ty, tx))
         w_left = lax.dynamic_slice(canvas_wl, (win_y, win_x), (win_h, win_w))
+        w_left = jnp.where(jnp.any(left_win != 0, axis=-1), w_left, 0.0)
         win_out = _multiband_compose(
             left_win.astype(jnp.float32), right_f, w_left, w_right
         )

@@ -216,6 +216,11 @@ class PairStitcher:
         self, left_dev: jnp.ndarray, right_dev: jnp.ndarray
     ) -> Optional[np.ndarray]:
         packed_dev, pts = self._fused_estimate(left_dev, right_dev)
+        return self._finish_fused_estimate(packed_dev, pts)
+
+    def _finish_fused_estimate(self, packed_dev, pts) -> Optional[np.ndarray]:
+        """Fetch + interpret an async _fused_estimate result (see chain mode,
+        which dispatches many estimates before fetching any)."""
         packed = np.asarray(packed_dev)      # the single host sync per pair
         h = packed[:9].reshape(3, 3).astype(np.float64)
         inlier_count = int(packed[9])
@@ -304,7 +309,7 @@ class PairStitcher:
             rgb_win, w_win = pallas_warp.warp_packed(
                 packed, params, win_h, win_w
             )
-            canvas = warp_ops.blend_window_outputs(
+            canvas, _ = warp_ops.blend_window_outputs(
                 left_dev,
                 rgb_win,
                 w_win,
@@ -423,14 +428,25 @@ def stitch_all_images_chain(
     devs = [to_dev(img) for img in images]
     n = len(devs)
 
-    # Pairwise homographies between ORIGINAL images; on failure, re-anchor
-    # against the last successfully-chained image (the fold's skip semantics,
-    # src/serial/main.cpp:404-407, transplanted to the chain).
+    # Pairwise homographies between ORIGINAL images. All adjacent estimates
+    # are dispatched asynchronously first — the device queue executes them
+    # back-to-back while the host fetch of pair 1 rides out the tunnel
+    # round-trip, so n-1 pairs cost ~one RPC instead of n-1. On failure,
+    # re-anchor against the last successfully-chained image (the fold's skip
+    # semantics, src/serial/main.cpp:404-407, transplanted to the chain).
+    pending = [
+        stitcher._fused_estimate(devs[i - 1], devs[i]) for i in range(1, n)
+    ]
+
     globals_h: List[Optional[np.ndarray]] = [np.eye(3)]
     last_good = 0
     for i in range(1, n):
         print(f"Stitching image {i + 1} of {n}...", flush=True)
-        h = stitcher.estimate_homography(devs[last_good], devs[i])
+        if last_good == i - 1:
+            packed_dev, pts = pending[i - 1]
+            h = stitcher._finish_fused_estimate(packed_dev, pts)
+        else:  # rare: previous pair failed; re-estimate against last_good
+            h = stitcher.estimate_homography(devs[last_good], devs[i])
         if h is None:
             print(f"Failed to stitch image {i}!", file=sys.stderr)
             globals_h.append(None)
@@ -461,15 +477,20 @@ def stitch_all_images_chain(
 
     # Composite: place image 0, then warp+blend every chained image onto the
     # SAME canvas (one warp graph for all steps — the canvas never grows).
+    # A weight canvas carries the exact accumulated coverage (feather ramps)
+    # so feather/multiband seams are placed against real coverage, not the
+    # canvas rectangle.
+    ty0 = jnp.asarray(int(-min_y), jnp.int32)
+    tx0 = jnp.asarray(int(-min_x), jnp.int32)
     canvas = jnp.zeros((pad_h, pad_w, 3), jnp.uint8)
     canvas = jax.lax.dynamic_update_slice(
-        canvas,
-        devs[0],
-        (
-            jnp.asarray(int(-min_y), jnp.int32),
-            jnp.asarray(int(-min_x), jnp.int32),
-            jnp.asarray(0, jnp.int32),
-        ),
+        canvas, devs[0], (ty0, tx0, jnp.asarray(0, jnp.int32))
+    )
+    weight_canvas = jnp.zeros((pad_h, pad_w), jnp.float32)
+    weight_canvas = jax.lax.dynamic_update_slice(
+        weight_canvas,
+        warp_ops._edge_ramp(images[0].shape[0], images[0].shape[1]),
+        (ty0, tx0),
     )
     zero = jnp.asarray(0, jnp.int32)
     for i in range(1, n):
@@ -509,7 +530,12 @@ def stitch_all_images_chain(
             rgb_win, w_win = pallas_warp.warp_packed(
                 packed, params, win_h, win_w
             )
-            canvas = warp_ops.blend_window_outputs(
+            w_left_win = jax.lax.dynamic_slice(
+                weight_canvas,
+                (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
+                (win_h, win_w),
+            )
+            canvas, new_w = warp_ops.blend_window_outputs(
                 canvas,
                 rgb_win,
                 w_win,
@@ -522,6 +548,12 @@ def stitch_all_images_chain(
                 win_h,
                 win_w,
                 cfg.blend,
+                w_left_win=w_left_win,
+            )
+            weight_canvas = jax.lax.dynamic_update_slice(
+                weight_canvas,
+                new_w,
+                (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
             )
         else:
             canvas = warp_ops.warp_and_blend(
@@ -538,6 +570,9 @@ def stitch_all_images_chain(
                 win_h=win_h,
                 win_w=win_w,
             )
+            # The XLA fallback derives left weights from nonblack coverage
+            # internally; the weight canvas keeps its previous state (the
+            # next pallas step still sees all earlier pallas coverage).
 
     result = np.asarray(canvas[:canvas_h, :canvas_w])
     if print_timing:
