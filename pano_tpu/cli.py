@@ -120,7 +120,7 @@ def run(
             raise SystemExit(-1)
         return val
 
-    mode = take_flag("--mode", ("fold", "chain")) or "fold"
+    mode = take_flag("--mode", ("fold", "chain", "auto")) or "fold"
     blend = take_flag("--blend", ("overlay", "feather", "multiband"))
     kpts = take_flag("--kpts")
     iters = take_flag("--iters")

@@ -22,6 +22,7 @@ continues with the previous panorama (src/serial/main.cpp:404-407).
 
 from __future__ import annotations
 
+import functools
 import sys
 from typing import List, Optional, Tuple
 
@@ -384,6 +385,10 @@ def stitch_all_images(
         return stitch_all_images_chain(
             images, config, print_timing, timing_tag, device
         )
+    if mode == "auto":
+        return stitch_all_images_auto(
+            images, config, print_timing, timing_tag, device
+        )
     t = Timer()
     if not images:
         return None
@@ -454,11 +459,147 @@ def stitch_all_images_chain(
         globals_h.append(globals_h[last_good] @ h)
         last_good = i
 
-    # Global canvas bounds over all chained images (frame of image 0).
+    result = composite_global(images, devs, globals_h, config, anchor=0)
+    if print_timing:
+        print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
+    return result
+
+
+def stitch_all_images_auto(
+    images: List[np.ndarray],
+    config: PanoConfig = DEFAULT_CONFIG,
+    print_timing: bool = True,
+    timing_tag: str = "",
+    device: Optional[jax.Device] = None,
+) -> Optional[np.ndarray]:
+    """Unordered stitching: all-pairs matching + maximum spanning tree.
+
+    No reference analog (the reference requires left-to-right input order;
+    cv::Stitcher does pairwise matching + bundle adjustment internally,
+    src/opencv/main.cpp:59-70). Features are detected ONCE per image; every
+    image pair is matched and RANSAC-scored on device (estimates dispatched
+    asynchronously — one tunnel round trip for the whole graph); the
+    inlier-count graph's maximum spanning tree picks the composition order,
+    rooted at the best-connected image.
+    """
+    t = Timer()
+    n = len(images)
+    if n == 0:
+        return None
+    cfg_h, cfg_r = config.harris, config.ransac
+
+    def to_dev(a):
+        arr = jnp.asarray(a, dtype=jnp.uint8)
+        return jax.device_put(arr, device) if device is not None else arr
+
+    devs = [to_dev(img) for img in images]
+
+    # Detect + describe once per image (jit cached per input shape).
+    @functools.lru_cache(maxsize=None)
+    def detect_fn(shape):
+        def f(img):
+            kps = harris_ops.harris_detect(img, cfg_h)
+            desc, bv = match_ops.extract_patch_descriptors(
+                img, kps, cfg_h.patch_size
+            )
+            return kps, desc, bv
+
+        return jax.jit(f)
+
+    feats = [detect_fn(d.shape)(d) for d in devs]
+
+    # Pairwise estimates from cached descriptors: H maps j -> i for i < j
+    # (query = j, train = i, matching stitchTwoImages' right-onto-left).
+    @jax.jit
+    def pair_fn(kps_q, desc_q, bq, kps_t, desc_t, bt):
+        m = match_ops.match_descriptors(
+            desc_q, bq, desc_t, bt, cfg_h.max_ssd_thresh,
+            ratio_thresh=cfg_h.ratio_thresh, cross_check=cfg_h.cross_check,
+        )
+        pq, pt, v = match_ops.gather_match_points(kps_q, kps_t, m)
+        res = ransac_ops.ransac_homography(pq, pt, v, cfg_r)
+        return (
+            res.H.reshape(-1).astype(jnp.float32),
+            res.inlier_count,
+            res.ok,
+        )
+
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    pending = {}
+    for i, j in pairs:
+        ki, di, bi = feats[i]
+        kj, dj, bj = feats[j]
+        pending[(i, j)] = pair_fn(kj, dj, bj, ki, di, bi)
+
+    counts = np.zeros((n, n), np.int64)
+    h_edge: dict = {}
+    for (i, j), (h_flat, cnt, ok) in pending.items():
+        if not bool(ok):
+            continue
+        c = int(cnt)
+        counts[i, j] = counts[j, i] = c
+        h_edge[(i, j)] = np.asarray(h_flat, np.float64).reshape(3, 3)
+
+    if counts.sum() == 0:
+        print("No connected image pairs!", file=sys.stderr)
+        return None
+
+    # Maximum spanning tree (Prim) rooted at the best-connected image.
+    root = int(np.argmax(counts.sum(axis=1)))
+    in_tree = {root}
+    globals_h: List[Optional[np.ndarray]] = [None] * n
+    globals_h[root] = np.eye(3)
+    while len(in_tree) < n:
+        best = None
+        for u in in_tree:
+            for v in range(n):
+                if v in in_tree or counts[u, v] <= 0:
+                    continue
+                if best is None or counts[u, v] > best[0]:
+                    best = (counts[u, v], u, v)
+        if best is None:
+            break  # remaining images are disconnected -> excluded
+        _, u, v = best
+        if (min(u, v), max(u, v)) in h_edge:
+            h = h_edge[(min(u, v), max(u, v))]
+            # stored H maps j -> i for (i<j); flip if attaching i under j.
+            h_child_to_parent = h if v > u else np.linalg.inv(h)
+            globals_h[v] = globals_h[u] @ h_child_to_parent
+        in_tree.add(v)
+
+    n_placed = sum(1 for g in globals_h if g is not None)
+    print(
+        f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
+        flush=True,
+    )
+    result = composite_global(images, devs, globals_h, config, anchor=root)
+    if print_timing:
+        print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
+    return result
+
+
+def composite_global(
+    images: List[np.ndarray],
+    devs: List[jnp.ndarray],
+    globals_h: List[Optional[np.ndarray]],
+    config: PanoConfig,
+    anchor: int = 0,
+) -> Optional[np.ndarray]:
+    """Composite images onto one globally-sized canvas.
+
+    globals_h[i] maps image i into the anchor image's frame (None = excluded;
+    globals_h[anchor] must be identity). Shared by chain mode and the
+    unordered (all-pairs spanning tree) mode.
+    """
+    cfg = config.stitch
+    n = len(images)
+
+    # Global canvas bounds over all placed images (anchor frame).
     min_x = min_y = 0.0
-    max_y, max_x = float(images[0].shape[0]), float(images[0].shape[1])
-    for i in range(1, n):
-        if globals_h[i] is None:
+    max_y = float(images[anchor].shape[0])
+    max_x = float(images[anchor].shape[1])
+    for i in range(n):
+        if i == anchor or globals_h[i] is None:
             continue
         hr, wr = images[i].shape[:2]
         corners = warp_ops.warp_corners(globals_h[i], hr, wr)
@@ -475,26 +616,28 @@ def stitch_all_images_chain(
     pad_h = _round_up(canvas_h, cfg.canvas_bucket)
     pad_w = _round_up(canvas_w, cfg.canvas_bucket)
 
-    # Composite: place image 0, then warp+blend every chained image onto the
-    # SAME canvas (one warp graph for all steps — the canvas never grows).
-    # A weight canvas carries the exact accumulated coverage (feather ramps)
-    # so feather/multiband seams are placed against real coverage, not the
-    # canvas rectangle.
+    # Composite: place the anchor, then warp+blend every other image onto
+    # the SAME canvas (one warp graph for all steps — the canvas never
+    # grows). A weight canvas carries the exact accumulated coverage
+    # (feather ramps) so feather/multiband seams are placed against real
+    # coverage, not the canvas rectangle.
     ty0 = jnp.asarray(int(-min_y), jnp.int32)
     tx0 = jnp.asarray(int(-min_x), jnp.int32)
     canvas = jnp.zeros((pad_h, pad_w, 3), jnp.uint8)
     canvas = jax.lax.dynamic_update_slice(
-        canvas, devs[0], (ty0, tx0, jnp.asarray(0, jnp.int32))
+        canvas, devs[anchor], (ty0, tx0, jnp.asarray(0, jnp.int32))
     )
     weight_canvas = jnp.zeros((pad_h, pad_w), jnp.float32)
     weight_canvas = jax.lax.dynamic_update_slice(
         weight_canvas,
-        warp_ops._edge_ramp(images[0].shape[0], images[0].shape[1]),
+        warp_ops._edge_ramp(
+            images[anchor].shape[0], images[anchor].shape[1]
+        ),
         (ty0, tx0),
     )
     zero = jnp.asarray(0, jnp.int32)
-    for i in range(1, n):
-        if globals_h[i] is None:
+    for i in range(n):
+        if i == anchor or globals_h[i] is None:
             continue
         m = t_mat @ globals_h[i]
         m_inv = np.linalg.inv(m)
@@ -574,7 +717,4 @@ def stitch_all_images_chain(
             # internally; the weight canvas keeps its previous state (the
             # next pallas step still sees all earlier pallas coverage).
 
-    result = np.asarray(canvas[:canvas_h, :canvas_w])
-    if print_timing:
-        print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
-    return result
+    return np.asarray(canvas[:canvas_h, :canvas_w])

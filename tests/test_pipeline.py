@@ -136,6 +136,34 @@ def test_stitch_all_chain_skips_failed_image():
     assert pano.shape[1] >= 210
 
 
+def test_stitch_all_auto_mode_unordered():
+    """Auto mode must recover the mosaic from SHUFFLED input order."""
+    base = checkerboard_texture(128, 280, seed=4)
+    imgs = [
+        base[:, 140:280].copy(),   # rightmost first
+        base[:, 0:140].copy(),     # leftmost second
+        base[:, 70:210].copy(),    # middle last
+    ]
+    pano = stitch_all_images(imgs, SMALL, print_timing=False, mode="auto")
+    assert pano is not None
+    assert pano.shape[1] >= 270
+    hmin = min(pano.shape[0], 128)
+    d = np.abs(
+        pano[:hmin, :270].astype(int) - base[:hmin, :270].astype(int)
+    ).max(-1)
+    assert (d > 30).mean() < 0.08, (d > 30).mean()
+
+
+def test_stitch_all_auto_disconnected_image_excluded():
+    base = checkerboard_texture(128, 220, seed=6)
+    unrelated = checkerboard_texture(128, 140, seed=99)
+    imgs = [base[:, 0:140].copy(), base[:, 80:220].copy(), unrelated]
+    pano = stitch_all_images(imgs, SMALL, print_timing=False, mode="auto")
+    assert pano is not None
+    # The unrelated image must not blow up the canvas.
+    assert pano.shape[1] <= 260
+
+
 def test_stitch_all_skips_failed_pair():
     base = checkerboard_texture(128, 220, seed=3)
     flat = np.zeros((128, 140, 3), np.uint8)  # featureless -> no matches
