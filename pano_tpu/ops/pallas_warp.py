@@ -132,6 +132,53 @@ def supports_homography(
     return True
 
 
+def envelope_ok_device(
+    m_inv: jnp.ndarray,     # (3, 3) f32, traced
+    off_x: jnp.ndarray,     # () traced window origin
+    off_y: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+) -> jnp.ndarray:
+    """Device-side twin of supports_homography (for fully-fused graphs where
+    H never visits the host). Returns a () bool."""
+    m = m_inv.astype(jnp.float32)
+    base = jnp.array(
+        [
+            [0.0, 0.0], [out_w, 0.0], [0.0, out_h], [out_w, out_h],
+            [out_w / 2.0, out_h / 2.0],
+        ],
+        jnp.float32,
+    )
+    pts = base + jnp.stack(
+        [off_x.astype(jnp.float32), off_y.astype(jnp.float32)]
+    )
+    x, y = pts[:, 0], pts[:, 1]
+    den = m[2, 0] * x + m[2, 1] * y + m[2, 2]
+    den_ok = jnp.abs(den) > 1e-9
+    den_s = jnp.where(den_ok, den, 1.0)
+    sx = (m[0, 0] * x + m[0, 1] * y + m[0, 2]) / den_s
+    sy = (m[1, 0] * x + m[1, 1] * y + m[1, 2]) / den_s
+    j00 = (m[0, 0] - sx * m[2, 0]) / den_s
+    j01 = (m[0, 1] - sx * m[2, 1]) / den_s
+    j10 = (m[1, 0] - sy * m[2, 0]) / den_s
+    j11 = (m[1, 1] - sy * m[2, 1]) / den_s
+
+    x_span = jnp.abs(j00) * TW + jnp.abs(j01) * TH
+    y_span = jnp.abs(j10) * TW + jnp.abs(j11) * TH
+    ok = den_ok
+    ok &= x_span + 130 < WIN_W
+    ok &= y_span + 34 < WIN_H
+    ok &= jnp.abs(j00) * TW + 130 < VW
+    ok &= jnp.abs(j00) > 1e-9
+    j00_s = jnp.where(jnp.abs(j00) > 1e-9, j00, 1.0)
+    beta = j10 / j00_s
+    chunk_rows = (
+        8 * jnp.abs(j11 - j10 * j01 / j00_s) + jnp.abs(beta) * VW + 3
+    )
+    ok &= chunk_rows < RV * 8 - 8
+    return ok.all()
+
+
 def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
     """One (TH, TW) output tile; see module docstring for the algorithm.
 

@@ -168,6 +168,155 @@ class PairStitcher:
         )
         return h
 
+    # --- single-dispatch full stitch ----------------------------------------
+
+    @functools.cached_property
+    def _fused_stitch(self):
+        return jax.jit(self._fused_stitch_impl)
+
+    def _fused_stitch_impl(self, left, right):
+        """The WHOLE pair stitch as one XLA dispatch.
+
+        Canvas geometry (warped corners, translation, canvas bounds, warp
+        window origin) moves onto the device, the warp runs into a
+        worst-case-size canvas, and the host fetches one small vector
+        [estimate packed (14) | min_x min_y canvas_h canvas_w kernel_safe]
+        to crop the result — a single tunnel round trip per pair instead of
+        two (each costs 30-60 ms through the axon tunnel).
+        """
+        cfg = self.config.stitch
+        packed, pts = self._fused_estimate_impl(left, right)
+        h = packed[:9].reshape(3, 3)
+
+        hl, wl = left.shape[:2]
+        hr, wr = right.shape[:2]
+
+        # Warped right corners (device f64-free: f32 is plenty for bounds).
+        cs = jnp.array(
+            [[0.0, 0.0, 1.0], [wr, 0.0, 1.0], [wr, hr, 1.0], [0.0, hr, 1.0]],
+            jnp.float32,
+        )
+        wc = cs @ h.T
+        wxy = wc[:, :2] / wc[:, 2:3]
+
+        min_x = jnp.minimum(0.0, wxy[:, 0].min())
+        min_y = jnp.minimum(0.0, wxy[:, 1].min())
+        max_x = jnp.maximum(float(wl), wxy[:, 0].max())
+        max_y = jnp.maximum(float(hl), wxy[:, 1].max())
+        canvas_h = jnp.ceil(max_y - min_y)
+        canvas_w = jnp.ceil(max_x - min_x)
+
+        t_mat = jnp.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32
+        )
+        t_mat = t_mat.at[0, 2].set(-min_x).at[1, 2].set(-min_y)
+        m = t_mat @ h
+        m_inv = jnp.linalg.inv(m)
+
+        # Static worst-case canvas: right can land anywhere around left.
+        pad_h = _round_up(hl + 2 * hr + 2, cfg.canvas_bucket)
+        pad_w = _round_up(wl + 2 * wr + 2, cfg.canvas_bucket)
+        # Static warp window sized for |scale| <= ~1.5 panorama warps (the
+        # in-graph safety check rejects anything bigger).
+        win_h = min(_round_up(int(hr * 1.5) + 260, 128), pad_h)
+        win_w = min(_round_up(int(wr * 1.5) + 260, 128), pad_w)
+
+        # Window origin in canvas coords (traced), clamped into the canvas.
+        cx = wxy[:, 0] - min_x
+        cy = wxy[:, 1] - min_y
+        wx0 = jnp.clip(
+            jnp.floor(cx.min()).astype(jnp.int32) - 2, 0, pad_w - win_w
+        )
+        wy0 = jnp.clip(
+            jnp.floor(cy.min()).astype(jnp.int32) - 2, 0, pad_h - win_h
+        )
+
+        # In-graph kernel-envelope check (the device-side twin of
+        # pallas_warp.supports_homography) + window-coverage check.
+        safe = (
+            (cx.max() - cx.min() + 6.0 < win_w)
+            & (cy.max() - cy.min() + 6.0 < win_h)
+            & pallas_warp.envelope_ok_device(m_inv, wx0, wy0, win_h, win_w)
+        )
+
+        tx = (-min_x).astype(jnp.int32)  # trunc == floor for >= 0
+        ty = (-min_y).astype(jnp.int32)
+
+        alpha = None
+        if cfg.blend in ("feather", "multiband"):
+            alpha = warp_ops._edge_ramp(hr, wr)
+        packed_src = pallas_warp.pack_bgra(right, alpha)
+        params = jnp.concatenate(
+            [
+                m_inv.reshape(-1).astype(jnp.float32),
+                jnp.stack([wx0.astype(jnp.float32), wy0.astype(jnp.float32)]),
+            ]
+        )
+        rgb_win, w_win = pallas_warp.warp_packed(
+            packed_src, params, win_h, win_w
+        )
+        canvas, _ = warp_ops.blend_window_outputs(
+            left,
+            rgb_win,
+            w_win,
+            tx,
+            ty,
+            wx0,
+            wy0,
+            pad_h,
+            pad_w,
+            win_h,
+            win_w,
+            cfg.blend,
+        )
+
+        packed_out = jnp.concatenate(
+            [
+                packed,
+                jnp.stack(
+                    [
+                        min_x,
+                        min_y,
+                        canvas_h,
+                        canvas_w,
+                        safe.astype(jnp.float32),
+                    ]
+                ),
+            ]
+        )
+        return packed_out, canvas, pts
+
+    def stitch_pair_fast(
+        self, left_dev: jnp.ndarray, right_dev: jnp.ndarray
+    ) -> Optional[jnp.ndarray]:
+        """Single-sync pair stitch (TPU + pallas only); falls back to the
+        two-sync staged path when RANSAC fails the gate or the homography
+        leaves the kernel envelope."""
+        cfg = self.config.stitch
+        if not (
+            cfg.use_pallas_warp
+            and jax.default_backend() == "tpu"
+            and cfg.blend in ("overlay", "feather", "multiband")
+        ):
+            return self.stitch_pair(left_dev, right_dev)
+
+        packed_out, canvas, _ = self._fused_stitch(left_dev, right_dev)
+        v = np.asarray(packed_out)          # THE single host sync
+        ok = v[11] > 0.5
+        match_count = int(v[12])
+        safe = v[18] > 0.5
+        if not ok or not safe:
+            if match_count == 0:
+                print(
+                    "Not enough matched corners for stitching!",
+                    file=sys.stderr,
+                )
+                return None
+            return self.stitch_pair(left_dev, right_dev)
+        canvas_h = int(v[16])
+        canvas_w = int(v[17])
+        return canvas[:canvas_h, :canvas_w]
+
     # --- pair stitch -------------------------------------------------------
 
     def estimate_homography(

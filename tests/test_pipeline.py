@@ -173,6 +173,31 @@ def test_stitch_all_skips_failed_pair():
     assert pano is not None
 
 
+def test_fused_stitch_matches_staged():
+    """The single-dispatch fused stitch (device-side canvas math + pallas
+    warp, interpret mode on CPU) must reproduce the staged path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    left, right = translated_pair()
+    stitcher = PairStitcher(SMALL, print_timing=False)
+    staged = np.asarray(
+        stitcher.stitch_pair(jnp.asarray(left), jnp.asarray(right))
+    )
+    with pltpu.force_tpu_interpret_mode():
+        packed_out, canvas, _ = stitcher._fused_stitch(
+            jnp.asarray(left), jnp.asarray(right)
+        )
+    v = np.asarray(packed_out)
+    assert v[11] > 0.5, "RANSAC ok flag"
+    assert v[18] > 0.5, "kernel envelope flag"
+    ch, cw = int(v[16]), int(v[17])
+    fused = np.asarray(canvas[:ch, :cw])
+    assert fused.shape == staged.shape, (fused.shape, staged.shape)
+    d = np.abs(fused.astype(int) - staged.astype(int)).max(-1)
+    # XLA warp vs pallas two-pass warp: tiny resample deltas only.
+    assert (d > 10).mean() < 0.02, (d.max(), (d > 10).mean())
+
+
 def test_timing_lines_contract(capsys):
     """The stdout stage lines are a machine-readable API (SURVEY §1)."""
     left, right = translated_pair()
