@@ -93,6 +93,52 @@ def conv2d_valid_zero_border(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarra
     return jnp.pad(out, pad)
 
 
+def conv2d_separable_valid_zero_border(
+    img: jnp.ndarray, k1d: np.ndarray
+) -> jnp.ndarray:
+    """Correlate with outer(k1d, k1d) as two 1-D tap-sum passes.
+
+    Exactly equals conv2d_valid_zero_border(img, outer(k1d, k1d)) up to f32
+    rounding (a normalized 2-D Gaussian factors into normalized 1-D ones),
+    at 2k taps/pixel instead of k^2 — the 5x5 Gaussian smoothing drops from
+    25 to 10 multiply-adds per pixel on the VPU.
+    """
+    from jax import lax
+
+    k1d = np.asarray(k1d, np.float64)
+    ksize = k1d.shape[0]
+    assert ksize % 2 == 1
+    k = ksize // 2
+    h, w = img.shape[-2], img.shape[-1]
+
+    # Vertical pass (valid rows, full columns).
+    acc = None
+    for i in range(ksize):
+        term = img[..., i : i + h - 2 * k, :] * jnp.asarray(
+            float(k1d[i]), img.dtype
+        )
+        acc = term if acc is None else acc + term
+    acc = lax.optimization_barrier(acc)  # stop tap-recompute fusion
+
+    # Horizontal pass (valid columns).
+    out = None
+    for j in range(ksize):
+        term = acc[..., :, j : j + w - 2 * k] * jnp.asarray(
+            float(k1d[j]), img.dtype
+        )
+        out = term if out is None else out + term
+    pad = [(0, 0)] * (img.ndim - 2) + [(k, k), (k, k)]
+    return jnp.pad(out, pad)
+
+
+def gaussian_kernel_1d(size: int, sigma: float) -> np.ndarray:
+    """Normalized 1-D Gaussian whose outer product equals gaussian_kernel."""
+    half = size // 2
+    xs = np.arange(size) - half
+    g = np.exp(-(xs**2) / (2.0 * sigma * sigma))
+    return g / g.sum()
+
+
 def conv2d_same(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """SAME-padded correlation; used by blending/eval (no reference analog)."""
     kernel = np.asarray(kernel, np.float64)

@@ -274,6 +274,34 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
     wy0f = wy0.astype(jnp.float32)
     wx0f = wx0.astype(jnp.float32)
 
+    # Off-image tile skip: if the tile's entire preimage misses the real
+    # image extent (params 11/12), write zeros and skip the gather passes —
+    # worst-case-sized windows in the fused path leave many such tiles.
+    real_w = params_ref[11]
+    real_h = params_ref[12]
+    t_oy = (
+        lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
+        + (ti * TH).astype(jnp.float32) + off_y
+    )
+    t_ox = (
+        lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
+        + (tj * TW).astype(jnp.float32) + off_x
+    )
+    t_den = h20 * t_ox + h21 * t_oy + h22
+    t_sx = (h00 * t_ox + h01 * t_oy + h02) / t_den + float(_BORDER)
+    t_sy = (h10 * t_ox + h11 * t_oy + h12) / t_den + float(_BORDER)
+    tile_hits = (
+        (jnp.max(t_sx) > 0.5)
+        & (jnp.min(t_sx) < real_w + 1.5)
+        & (jnp.max(t_sy) > 0.5)
+        & (jnp.min(t_sy) < real_h + 1.5)
+    )
+
+    @pl.when(jnp.logical_not(tile_hits))
+    def _():
+        rgb_ref[...] = jnp.zeros((TH, TW), jnp.int32)
+        w_ref[...] = jnp.zeros((TH, TW), jnp.float32)
+
     # --- per-chunk two-pass resample -----------------------------------
     def chunk_body(c, _):
         roy = (
@@ -378,13 +406,35 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
         w_ref[pl.ds(c * 8, 8), :] = alpha_w
         return 0
 
-    lax.fori_loop(0, TH // 8, chunk_body, 0)
+    @pl.when(tile_hits)
+    def _():
+        lax.fori_loop(0, TH // 8, chunk_body, 0)
+
+
+def make_params(
+    m_inv, off_x: float, off_y: float, real_h: int, real_w: int
+) -> jnp.ndarray:
+    """(13,) f32 kernel params: h_inv.ravel(), window origin, image extent.
+    All entries may be traced values (used inside fused graphs)."""
+    return jnp.concatenate(
+        [
+            jnp.asarray(m_inv, jnp.float32).reshape(-1),
+            jnp.stack(
+                [
+                    jnp.asarray(off_x, jnp.float32),
+                    jnp.asarray(off_y, jnp.float32),
+                    jnp.asarray(real_w, jnp.float32),
+                    jnp.asarray(real_h, jnp.float32),
+                ]
+            ),
+        ]
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def warp_packed(
     src_packed: jnp.ndarray,   # (Hp, Wp) int32 from pack_bgra
-    params: jnp.ndarray,       # (11,) f32: h_inv.ravel(), off_x, off_y
+    params: jnp.ndarray,       # (13,) f32 from make_params
     out_h: int,
     out_w: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

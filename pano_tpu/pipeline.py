@@ -216,10 +216,11 @@ class PairStitcher:
         # Static worst-case canvas: right can land anywhere around left.
         pad_h = _round_up(hl + 2 * hr + 2, cfg.canvas_bucket)
         pad_w = _round_up(wl + 2 * wr + 2, cfg.canvas_bucket)
-        # Static warp window sized for |scale| <= ~1.5 panorama warps (the
-        # in-graph safety check rejects anything bigger).
-        win_h = min(_round_up(int(hr * 1.5) + 260, 128), pad_h)
-        win_w = min(_round_up(int(wr * 1.5) + 260, 128), pad_w)
+        # Static warp window sized for typical panorama warps (scale ~1,
+        # small tilt); the in-graph coverage check below rejects anything
+        # bigger and falls back to the exact-bbox staged path.
+        win_h = min(_round_up(int(hr * 1.1) + 300, 128), pad_h)
+        win_w = min(_round_up(int(wr * 1.1) + 300, 128), pad_w)
 
         # Window origin in canvas coords (traced), clamped into the canvas.
         cx = wxy[:, 0] - min_x
@@ -246,12 +247,7 @@ class PairStitcher:
         if cfg.blend in ("feather", "multiband"):
             alpha = warp_ops._edge_ramp(hr, wr)
         packed_src = pallas_warp.pack_bgra(right, alpha)
-        params = jnp.concatenate(
-            [
-                m_inv.reshape(-1).astype(jnp.float32),
-                jnp.stack([wx0.astype(jnp.float32), wy0.astype(jnp.float32)]),
-            ]
-        )
+        params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
         rgb_win, w_win = pallas_warp.warp_packed(
             packed_src, params, win_h, win_w
         )
@@ -450,12 +446,7 @@ class PairStitcher:
             if cfg.blend in ("feather", "multiband"):
                 alpha = warp_ops._edge_ramp(hr, wr)
             packed = pallas_warp.pack_bgra(right_dev, alpha)
-            params = jnp.concatenate(
-                [
-                    jnp.asarray(m_inv, jnp.float32).reshape(-1),
-                    jnp.asarray([wx0, wy0], jnp.float32),
-                ]
-            )
+            params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
             rgb_win, w_win = pallas_warp.warp_packed(
                 packed, params, win_h, win_w
             )
@@ -813,12 +804,7 @@ def composite_global(
             if cfg.blend in ("feather", "multiband"):
                 alpha = warp_ops._edge_ramp(hr, wr)
             packed = pallas_warp.pack_bgra(devs[i], alpha)
-            params = jnp.concatenate(
-                [
-                    jnp.asarray(m_inv, jnp.float32).reshape(-1),
-                    jnp.asarray([wx0, wy0], jnp.float32),
-                ]
-            )
+            params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
             rgb_win, w_win = pallas_warp.warp_packed(
                 packed, params, win_h, win_w
             )

@@ -17,12 +17,7 @@ from pano_tpu.ops import warp as W
 
 def run_kernel(img, m_inv, oh, ow, alpha_plane=None):
     packed = PW.pack_bgra(jnp.asarray(img), alpha_plane)
-    params = jnp.concatenate(
-        [
-            jnp.asarray(m_inv, jnp.float32).reshape(-1),
-            jnp.zeros((2,), jnp.float32),
-        ]
-    )
+    params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
     with pltpu.force_tpu_interpret_mode():
         rgb, w = PW.warp_packed(packed, params, oh, ow)
     return np.asarray(PW.unpack_rgb(rgb)), np.asarray(w)
