@@ -58,8 +58,8 @@ def run_once(impl, image_dir, out_file, env=None):
     if env:
         full_env.update(env)
     proc = subprocess.run(
-        [sys.executable, "-m", "pano_tpu.cli", impl, "--dir", image_dir,
-         "--out", out_file],
+        [sys.executable, "-m", "pano_tpu.cli", impl, "--warmup", "--dir",
+         image_dir, "--out", out_file],
         capture_output=True,
         text=True,
         env=full_env,

@@ -120,6 +120,9 @@ def run(
             raise SystemExit(-1)
         return val
 
+    warmup = "--warmup" in argv  # run once untimed first (pays compiles)
+    if warmup:
+        argv.remove("--warmup")
     mode = take_flag("--mode", ("fold", "chain", "auto")) or "fold"
     blend = take_flag("--blend", ("overlay", "feather", "multiband"))
     kpts = take_flag("--kpts")
@@ -198,6 +201,11 @@ def run(
             print_stage(f"Total Execution Time ({tag})", total.elapsed())
             return 0
 
+        if warmup:
+            stitch_all_images(
+                reader.images, config, print_timing=False, device=device,
+                mode=mode,
+            )
         with _maybe_profile():
             panorama = stitch_all_images(
                 reader.images, config, timing_tag=tag, device=device,

@@ -44,6 +44,9 @@ class HarrisOptions:
     ratio_thresh: float = 0.85     # Lowe ratio: best < r^2 * second-best
     #                                (0 disables)
     cross_check: bool = True       # mutual-nearest-neighbor check
+    topk_method: str = "approx"    # 'approx' (lax.approx_max_k, recall 0.95,
+    #                                ~3x faster selection; drops only the
+    #                                weakest few % of corners) | 'exact'
 
     def __post_init__(self):
         if self.nms_neighborhood % 2 != 1:

@@ -80,7 +80,8 @@ def test_response_matches_oracle(rng):
 
 def test_detect_matches_oracle_keypoint_set(rng):
     img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
-    opts = HarrisOptions(max_keypoints=512)
+    # exact selection: this test checks NMS semantics, not selection policy
+    opts = HarrisOptions(max_keypoints=512, topk_method="exact")
     kps = harris.harris_detect(jnp.asarray(img), opts)
     got = {
         (int(x), int(y))
