@@ -47,6 +47,9 @@ class HarrisOptions:
     topk_method: str = "approx"    # 'approx' (lax.approx_max_k, recall 0.95,
     #                                ~3x faster selection; drops only the
     #                                weakest few % of corners) | 'exact'
+    use_pallas_scores: bool = True  # fused Pallas Harris-score kernel on TPU
+    #                                (requires nms_neighborhood == 3; falls
+    #                                back to the XLA chain otherwise / on CPU)
 
     def __post_init__(self):
         if self.nms_neighborhood % 2 != 1:

@@ -141,23 +141,45 @@ def harris_detect(
     """
     h, w = img_u8.shape[:2]
     gray = bgr_to_gray_f32(img_u8)
-    resp = harris_response(gray, opts.k)
 
-    half = opts.nms_neighborhood // 2
-    nmax = _neighbor_max(resp, opts.nms_neighborhood)
-
-    ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    border_ok = (
-        (ys >= half) & (ys < h - half) & (xs >= half) & (xs < w - half)
+    use_kernel = (
+        opts.use_pallas_scores
+        and opts.nms_neighborhood == 3
+        and jax.default_backend() == "tpu"
     )
-    is_peak = (
-        (resp > jnp.asarray(opts.nms_thresh, resp.dtype))
-        & (resp > nmax)
-        & border_ok
-    )
+    if use_kernel:
+        # Fused Pallas kernel: the whole gray->response->NMS->threshold
+        # chain in one VMEM-resident pass (ops/pallas_harris.py).
+        from pano_tpu.ops import pallas_harris
 
-    scores = jnp.where(is_peak, resp, -jnp.inf)
+        padded = pallas_harris.harris_scores(
+            gray, h, w, opts.k, opts.nms_thresh
+        )
+    else:
+        resp = harris_response(gray, opts.k)
+
+        half = opts.nms_neighborhood // 2
+        nmax = _neighbor_max(resp, opts.nms_neighborhood)
+
+        ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        border_ok = (
+            (ys >= half) & (ys < h - half) & (xs >= half) & (xs < w - half)
+        )
+        is_peak = (
+            (resp > jnp.asarray(opts.nms_thresh, resp.dtype))
+            & (resp > nmax)
+            & border_ok
+        )
+
+        scores = jnp.where(is_peak, resp, -jnp.inf)
+        if h % 2 or w % 2:
+            scores = jnp.pad(
+                scores,
+                ((0, h % 2), (0, w % 2)),
+                constant_values=-jnp.inf,
+            )
+        padded = scores
 
     # Exact 2x2 block reduction before top-K: NMS peaks are pairwise
     # non-adjacent (two adjacent pixels cannot both be strictly greater than
@@ -165,13 +187,7 @@ def harris_detect(
     # block maxima is lossless. This quarters the top_k problem — the
     # selection, not the response math, dominates Harris on TPU.
     # reduce_window lowers 4x faster than pad+reshape+max (no relayout).
-    h2, w2 = (h + 1) // 2, (w + 1) // 2
-    padded = scores
-    if h % 2 or w % 2:
-        padded = jnp.pad(
-            scores, ((0, h2 * 2 - h), (0, w2 * 2 - w)),
-            constant_values=-jnp.inf,
-        )
+    h2, w2 = padded.shape[0] // 2, padded.shape[1] // 2
     bmax = lax.reduce_window(
         padded, -jnp.inf, lax.max, (2, 2), (2, 2), "VALID"
     )                                                   # (h2, w2)

@@ -1,0 +1,203 @@
+"""Pallas fused Harris-scores kernel: gray -> gradients -> products ->
+Gaussian smoothing -> response -> strict NMS -> thresholded score map, in one
+VMEM-resident pass per tile.
+
+The XLA version (ops/harris.py) materializes ~7 intermediate 52 MB planes in
+HBM per image and runs the shifted tap sums as separate fusions (~7 ms per
+13 MP image on v5e after all XLA-level tuning). This kernel DMAs each tile's
+gray window (with a 4-px stencil halo) into VMEM once and keeps the whole
+chain on-chip; the only HBM writes are the final score map.
+
+Semantics are EXACTLY the reference chain (src/serial/main.cpp:119-185):
+  * Sobel gradients with the zero "valid border" (gradients forced to 0
+    outside global [1, dim-2] — reproducing convolveSequential's untouched
+    border, src/serial/main.cpp:96-116);
+  * gradient products, separable 5x5 sigma=1 Gaussian (border handled the
+    same way: products outside the valid gradient region are zero, matching
+    the reference's zero-border first conv);
+  * response det - k*tr^2; NMS strictly-greater over the 3x3 neighborhood
+    with the [halfLen, dim-halfLen) border clip (src/serial/main.cpp:159-180).
+
+Output: score map (Hp, Wp) f32 (padded to tile multiples, -inf outside
+peaks/image) consumed by the same block-reduce + top-K selection as the XLA
+path. Only nms_neighborhood == 3 is supported (the reference never uses any
+other value); callers must guard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH, TW = 128, 512          # score tile per grid step
+PAD_R, PAD_C = 8, 128      # gray image offset inside the padded array
+WIN_R, WIN_C = TH + 16, TW + 256   # DMA window (halo 4 within the offsets)
+
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float64)
+_SOBEL_Y = _SOBEL_X.T
+_G1D = None  # filled below
+
+
+def _gauss1d():
+    global _G1D
+    if _G1D is None:
+        xs = np.arange(5) - 2
+        g = np.exp(-(xs**2) / 2.0)
+        _G1D = g / g.sum()
+    return _G1D
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_gray(gray: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) f32 -> (Hp, Wp) with the image at offset (PAD_R, PAD_C) and
+    zero elsewhere, sized so every tile window stays in bounds."""
+    h, w = gray.shape
+    nti = -(-h // TH)
+    ntj = -(-w // TW)
+    hp = nti * TH + 2 * PAD_R
+    wp = ntj * TW + 2 * PAD_C
+    return jnp.pad(gray, ((PAD_R, hp - h - PAD_R), (PAD_C, wp - w - PAD_C)))
+
+
+def _make_kernel(h: int, w: int, k: float, nms_thresh: float):
+    """Kernel closure over static image dims and Harris constants."""
+
+    def kernel(gray_ref, out_ref, wbuf, sem):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+
+        copy = pltpu.make_async_copy(
+            gray_ref.at[pl.ds(ti * TH, WIN_R), pl.ds(tj * TW, WIN_C)],
+            wbuf,
+            sem,
+        )
+        copy.start()
+        copy.wait()
+        win = wbuf[:]
+
+        # Tile-local pixel q lives at window index (q + PAD_R - 0, ...):
+        # window origin is padded (ti*TH, tj*TW) == pixel (ti*TH - PAD_R,
+        # tj*TW - PAD_C), so pixel q -> window (q_r + 8, q_c + 128).
+        row0 = ti * TH  # global pixel row of tile-local 0
+        col0 = tj * TW
+
+        def grad(kern):
+            # Gradient over pixels q in [-3, TH+3) x [-3, TW+3).
+            acc = None
+            for i in range(3):
+                for j in range(3):
+                    wgt = float(kern[i, j])
+                    if wgt == 0.0:
+                        continue
+                    t = win[
+                        8 - 3 + (i - 1) : 8 - 3 + (i - 1) + TH + 6,
+                        128 - 3 + (j - 1) : 128 - 3 + (j - 1) + TW + 6,
+                    ] * wgt
+                    acc = t if acc is None else acc + t
+            return acc
+
+        gx = grad(_SOBEL_X)
+        gy = grad(_SOBEL_Y)
+
+        # Zero gradients outside the reference's valid region [1, dim-2]
+        # (convolveSequential leaves the 1-px border untouched-zero).
+        gr = (
+            lax.broadcasted_iota(jnp.int32, (TH + 6, TW + 6), 0)
+            - 3 + row0
+        )
+        gc = (
+            lax.broadcasted_iota(jnp.int32, (TH + 6, TW + 6), 1)
+            - 3 + col0
+        )
+        gvalid = (gr >= 1) & (gr <= h - 2) & (gc >= 1) & (gc <= w - 2)
+        gx = jnp.where(gvalid, gx, 0.0)
+        gy = jnp.where(gvalid, gy, 0.0)
+
+        g1 = _gauss1d()
+        planes = []
+        for prod in (gx * gx, gy * gy, gx * gy):
+            # Vertical Gaussian: rows [-1, TH+1), cols [-3, TW+6) domain.
+            v = None
+            for t in range(5):
+                term = prod[t : t + TH + 2, :] * float(g1[t])
+                v = term if v is None else v + term
+            # Horizontal: cols [-1, TW+1).
+            s = None
+            for t in range(5):
+                term = v[:, t : t + TW + 2] * float(g1[t])
+                s = term if s is None else s + term
+            planes.append(s)  # (TH+2, TW+2), indexed from pixel (-1, -1)
+        sxx, syy, sxy = planes
+
+        resp = sxx * syy - sxy * sxy - k * (sxx + syy) * (sxx + syy)
+
+        # The reference's SECOND convolution also leaves its 2-px border
+        # untouched-zero (convolveSequential valid region), so the response
+        # is exactly 0 outside global [2, dim-3] — NMS neighbors must see
+        # those zeros (src/serial/main.cpp:141-155).
+        rr2 = (
+            lax.broadcasted_iota(jnp.int32, (TH + 2, TW + 2), 0)
+            - 1 + row0
+        )
+        cc2 = (
+            lax.broadcasted_iota(jnp.int32, (TH + 2, TW + 2), 1)
+            - 1 + col0
+        )
+        rvalid = (rr2 >= 2) & (rr2 <= h - 3) & (cc2 >= 2) & (cc2 <= w - 3)
+        resp = jnp.where(rvalid, resp, 0.0)
+
+        # Strict NMS over the 3x3 neighborhood.
+        nmax = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                t = resp[1 + dy : 1 + dy + TH, 1 + dx : 1 + dx + TW]
+                nmax = t if nmax is None else jnp.maximum(nmax, t)
+        center = resp[1 : 1 + TH, 1 : 1 + TW]
+
+        rr = lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + row0
+        cc = lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + col0
+        border_ok = (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w - 1)
+        is_peak = (center > nms_thresh) & (center > nmax) & border_ok
+        out_ref[...] = jnp.where(is_peak, center, -jnp.inf)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "k", "nms_thresh"))
+def harris_scores(
+    gray: jnp.ndarray, h: int, w: int, k: float, nms_thresh: float
+) -> jnp.ndarray:
+    """Fused NMS'd Harris score map.
+
+    `gray` is the (H, W) f32 gray image (un-padded); returns the
+    (round_up(H, TH), round_up(W, TW)) score map with -inf at non-peaks and
+    everywhere outside the image.
+    """
+    padded = pad_gray(gray)
+    nti = -(-h // TH)
+    ntj = -(-w // TW)
+    return pl.pallas_call(
+        _make_kernel(h, w, float(k), float(nms_thresh)),
+        grid=(nti, ntj),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nti * TH, ntj * TW), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_R, WIN_C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(padded)

@@ -1,0 +1,72 @@
+"""Pallas fused Harris-scores kernel vs the XLA chain (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental.pallas import tpu as pltpu
+
+from pano_tpu.config import HarrisOptions
+from pano_tpu.ops import harris as H
+from pano_tpu.ops import pallas_harris as PH
+
+
+def xla_scores(img, opts):
+    h, w = img.shape[:2]
+    gray = H.bgr_to_gray_f32(jnp.asarray(img))
+    resp = H.harris_response(gray, opts.k)
+    nmax = H._neighbor_max(resp, 3)
+    ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (ys >= 1) & (ys < h - 1) & (xs >= 1) & (xs < w - 1)
+    return np.asarray(
+        jnp.where(
+            (resp > opts.nms_thresh) & (resp > nmax) & border, resp, -jnp.inf
+        )
+    )
+
+
+def kernel_scores(img, opts):
+    h, w = img.shape[:2]
+    gray = H.bgr_to_gray_f32(jnp.asarray(img))
+    with pltpu.force_tpu_interpret_mode():
+        s = PH.harris_scores(gray, h, w, opts.k, opts.nms_thresh)
+    return np.asarray(s)
+
+
+def test_kernel_matches_xla_scores(rng):
+    img = rng.integers(0, 256, (150, 600, 3), dtype=np.uint8)  # 2x2 tiles
+    opts = HarrisOptions()
+    want = xla_scores(img, opts)
+    got = kernel_scores(img, opts)
+    h, w = img.shape[:2]
+    # Outside-image padding is -inf.
+    assert np.all(np.isneginf(got[h:, :]))
+    assert np.all(np.isneginf(got[:, w:]))
+    got = got[:h, :w]
+    same_peaks = np.isneginf(got) == np.isneginf(want)
+    # f32 associativity differences may flip borderline peaks; demand near-
+    # perfect agreement and close values on shared peaks.
+    assert same_peaks.mean() > 0.9995, same_peaks.mean()
+    both = ~np.isneginf(got) & ~np.isneginf(want)
+    if both.any():
+        np.testing.assert_allclose(
+            got[both], want[both], rtol=2e-4, atol=10.0
+        )
+
+
+def test_kernel_border_semantics(rng):
+    """Gradients are zeroed outside [1, dim-2] exactly like the reference's
+    zero-border convolution — peaks at x==2 must agree with the XLA chain."""
+    img = rng.integers(0, 256, (130, 520, 3), dtype=np.uint8)
+    opts = HarrisOptions()
+    want = xla_scores(img, opts)
+    got = kernel_scores(img, opts)[:130, :520]
+    edge_cols = np.concatenate([got[:, :4].ravel(), want[:, :4].ravel()])
+    # Border ring: identical peak classification.
+    np.testing.assert_array_equal(
+        np.isneginf(got[:, :4]), np.isneginf(want[:, :4])
+    )
+    np.testing.assert_array_equal(
+        np.isneginf(got[:4, :]), np.isneginf(want[:4, :])
+    )
