@@ -211,7 +211,7 @@ class PairStitcher:
         )
         t_mat = t_mat.at[0, 2].set(-min_x).at[1, 2].set(-min_y)
         m = t_mat @ h
-        m_inv = jnp.linalg.inv(m)
+        m_inv = ransac_ops.inv3x3(m)
 
         # Static worst-case canvas: right can land anywhere around left.
         pad_h = _round_up(hl + 2 * hr + 2, cfg.canvas_bucket)
