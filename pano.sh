@@ -93,7 +93,7 @@ EOF
         echo "Running performance profiling on $IMPL implementation..."
         PYTHONPATH="$SCRIPT_DIR:$PYTHONPATH" PANO_TPU_PROFILE="$TRACE_DIR" \
             "$PYTHON" -m pano_tpu.cli "$IMPL" "$@" | tee "${IMPL}_perf_report.txt"
-        if [ $? -eq 0 ]; then
+        if [ ${PIPESTATUS[0]} -eq 0 ]; then
             echo "Performance profiling completed successfully!"
             echo "Performance report saved to ${IMPL}_perf_report.txt"
             echo "Profiler trace (xplane) saved to ${TRACE_DIR}"

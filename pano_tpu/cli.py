@@ -160,10 +160,19 @@ def run(
         if impl == "serial":
             # Pin the CPU platform before JAX initializes: loading the TPU
             # plugin costs a multi-second (sometimes minutes) handshake the
-            # serial oracle path never needs.
+            # serial oracle path never needs. The env var alone is not
+            # enough — an accelerator sitecustomize may have already set it —
+            # so force it at the config level too (no-op if a backend is
+            # already live; _platform_config then handles kernel gating).
             import os
 
-            os.environ.setdefault("JAX_PLATFORMS", "cpu")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax as _jax
+
+            try:
+                _jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
         import jax
 
         from pano_tpu.pipeline import stitch_all_images

@@ -50,6 +50,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _platform_config(
+    config: PanoConfig, device: Optional[jax.Device]
+) -> PanoConfig:
+    """Disable Pallas kernels when execution is pinned to a non-TPU device.
+
+    jax.default_backend() is the wrong signal here: an accelerator plugin
+    may own the default backend while the caller runs on jax.devices('cpu')
+    (the CLI 'serial' oracle does exactly that) — Pallas TPU kernels then
+    crash at compile time. The device argument is authoritative.
+    """
+    import dataclasses
+
+    plat = device.platform if device is not None else jax.default_backend()
+    if plat == "tpu":
+        return config
+    return config.replace(
+        harris=dataclasses.replace(config.harris, use_pallas_scores=False),
+        stitch=dataclasses.replace(config.stitch, use_pallas_warp=False),
+    )
+
+
 def _suffix(label: str, tag: str) -> str:
     return f"{label} ({tag})" if tag else label
 
@@ -521,6 +542,7 @@ def stitch_all_images(
     graph per input resolution, one warp graph), better keypoint quality,
     same output semantics.
     """
+    config = _platform_config(config, device)
     if mode == "chain":
         return stitch_all_images_chain(
             images, config, print_timing, timing_tag, device
@@ -563,6 +585,7 @@ def stitch_all_images_chain(
     t = Timer()
     if not images:
         return None
+    config = _platform_config(config, device)
     cfg = config.stitch
     stitcher = PairStitcher(config, print_timing, timing_tag)
 
@@ -626,6 +649,7 @@ def stitch_all_images_auto(
     n = len(images)
     if n == 0:
         return None
+    config = _platform_config(config, device)
     cfg_h, cfg_r = config.harris, config.ransac
 
     def to_dev(a):
