@@ -18,9 +18,9 @@ TPU-native design:
     hypothesis drawn over the compacted valid-match range. Duplicate indices
     (~0.1% of hypotheses) simply yield a degenerate DLT -> NaN H -> zero
     inliers, the same harmless outcome as the CUDA path's failed retries.
-  * Solve: vmapped Hartley-normalized 4-point DLT as a batched 8x8
-    `jnp.linalg.solve` with h33=1 gauge — one batched LU on device for all
-    1000 hypotheses, replacing 1000 sequential cv::findHomography calls.
+  * Solve: vmapped Hartley-normalized 4-point DLT as an unrolled 8x8
+    Gauss-Jordan elimination with the h33=1 gauge, vectorized across all
+    1000 hypotheses — replacing 1000 sequential cv::findHomography calls.
   * Scoring: one broadcast pass computes the (N_hyp, M) reprojection
     distances and reduces to per-hypothesis inlier counts; `argmax` picks the
     winner. No host round trip until the final 3x3 H is fetched.

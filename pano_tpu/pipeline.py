@@ -310,9 +310,13 @@ class PairStitcher:
         two-sync staged path when RANSAC fails the gate or the homography
         leaves the kernel envelope."""
         cfg = self.config.stitch
+        try:
+            plat = next(iter(left_dev.devices())).platform
+        except Exception:
+            plat = jax.default_backend()
         if not (
             cfg.use_pallas_warp
-            and jax.default_backend() == "tpu"
+            and plat == "tpu"
             and cfg.blend in ("overlay", "feather", "multiband")
         ):
             return self.stitch_pair(left_dev, right_dev)
