@@ -35,9 +35,41 @@ def _blur(x: jnp.ndarray) -> jnp.ndarray:
     return conv_ops._tap_sum(jnp.pad(x, pad, mode="edge"), _K2D)
 
 
+def _decimate2(x: jnp.ndarray) -> jnp.ndarray:
+    """x[..., ::2, ::2] as an explicit strided lax.slice (native XLA op)."""
+    from jax import lax
+
+    starts = (0,) * x.ndim
+    limits = x.shape
+    strides = (1,) * (x.ndim - 2) + (2, 2)
+    return lax.slice(x, starts, limits, strides)
+
+
+def _row_interleave(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(..., h, w) x2 -> (..., 2h, w) with a on even rows.
+
+    Stacks on the SUBLANE-adjacent axis (size-2 second-to-last dim pads 8/2
+    = 4x transiently, fine) then merges. TPU lowering landmines avoided:
+    `.at[::2, ::2].set` stride-2 scatter SILENTLY DROPS most writes at
+    large shapes on v5e; trailing size-2 axes pad 64x (OOM at 4K);
+    lax.pad interior dilation takes unbounded compile time here.
+    """
+    s = jnp.stack([a, b], axis=-2)               # (..., h, 2, w)
+    return s.reshape(a.shape[:-2] + (2 * a.shape[-2], a.shape[-1]))
+
+
+def _interleave2(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-stuff: out[..., 2i, 2j] = x[..., i, j] (see _row_interleave)."""
+    z = jnp.zeros_like(x)
+    rows = _row_interleave(x, z)                 # (..., 2h, w)
+    rt = jnp.swapaxes(rows, -1, -2)              # (..., w, 2h)
+    cols = _row_interleave(rt, jnp.zeros_like(rt))
+    return jnp.swapaxes(cols, -1, -2)            # (..., 2h, 2w)
+
+
 def _down(x: jnp.ndarray) -> jnp.ndarray:
     """Blur + decimate by 2 (even rows/cols)."""
-    return _blur(x)[..., ::2, ::2]
+    return _decimate2(_blur(x))
 
 
 def _up(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -47,9 +79,8 @@ def _up(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     interpolation exact at borders (a plain x4 gain undershoots where the
     5-tap support is clipped)."""
     h, w = x.shape[-2], x.shape[-1]
-    up = jnp.zeros(x.shape[:-2] + (h * 2, w * 2), x.dtype)
-    up = up.at[..., ::2, ::2].set(x)
-    ones = jnp.zeros((h * 2, w * 2), x.dtype).at[::2, ::2].set(1.0)
+    up = _interleave2(x)
+    ones = _interleave2(jnp.ones((h, w), x.dtype))
     num = conv_ops.conv2d_same(up, _K2D)
     den = conv_ops.conv2d_same(ones, _K2D)
     up = num / jnp.maximum(den, 1e-8)
