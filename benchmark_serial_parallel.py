@@ -25,16 +25,16 @@ STITCH_RE = re.compile(
 
 def run_impl(impl, image_args):
     proc = subprocess.run(
-        [sys.executable, "-m", "pano_tpu.cli", impl] + image_args,
+        [sys.executable, "-m", "pano_tpu.cli", impl, "--warmup"] + image_args,
         capture_output=True,
         text=True,
         cwd=HERE,
     )
-    m = STITCH_RE.search(proc.stdout)
-    if not m:
+    matches = STITCH_RE.findall(proc.stdout)
+    if not matches:
         print(proc.stdout[-1500:], proc.stderr[-1500:], file=sys.stderr)
         raise RuntimeError(f"no timing line from {impl}")
-    return float(m.group(1)) / 1000.0  # seconds, like the reference CSV
+    return float(matches[-1]) / 1000.0  # seconds, like the reference CSV
 
 
 def main():

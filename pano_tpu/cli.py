@@ -21,6 +21,7 @@ Exit codes and stdout/stderr lines match the reference mains
 
 from __future__ import annotations
 
+import contextlib
 import sys
 from typing import List, Optional, Sequence
 
@@ -59,9 +60,6 @@ def _opencv_stitch(images: List[np.ndarray]) -> Optional[np.ndarray]:
         print(f"Stitching failed with status {status}", file=sys.stderr)
         return None
     return pano
-
-
-import contextlib
 
 
 @contextlib.contextmanager
@@ -211,8 +209,11 @@ def run(
             return 0
 
         if warmup:
+            # Same code path as the timed run (the staged/timed graphs
+            # differ from the fused ones); benchmark parsers take the LAST
+            # timing line, so the warmup's lines are harmless.
             stitch_all_images(
-                reader.images, config, print_timing=False, device=device,
+                reader.images, config, timing_tag=tag, device=device,
                 mode=mode,
             )
         with _maybe_profile():
