@@ -45,12 +45,25 @@ def _opencv_stitch(images: List[np.ndarray]) -> Optional[np.ndarray]:
     import cv2  # local import; this impl requires OpenCV
 
     stitcher = cv2.Stitcher.create(cv2.Stitcher_PANORAMA)
-    stitcher.setRegistrationResol(0.6)
-    stitcher.setSeamEstimationResol(0.1)
-    stitcher.setCompositingResol(1.0)
-    stitcher.setPanoConfidenceThresh(0.6)
-    stitcher.setWaveCorrection(True)
-    stitcher.setWaveCorrectKind(cv2.detail.WAVE_CORRECT_HORIZ)
+    # Python bindings expose a version-dependent subset of the C++ setters;
+    # apply whatever this build supports (best effort, like the reference's
+    # exact values where available).
+    for setter, value in (
+        ("setRegistrationResol", 0.6),
+        ("setSeamEstimationResol", 0.1),
+        ("setCompositingResol", 1.0),
+        ("setPanoConfidenceThresh", 0.6),
+        ("setWaveCorrection", True),
+        ("setWaveCorrectKind", getattr(
+            getattr(cv2, "detail", None), "WAVE_CORRECT_HORIZ", None
+        )),
+    ):
+        fn = getattr(stitcher, setter, None)
+        if fn is not None and value is not None:
+            try:
+                fn(value)
+            except Exception:
+                pass
 
     t = Timer()
     print("Creating stitcher and performing stitching...", flush=True)
