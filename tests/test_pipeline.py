@@ -198,6 +198,33 @@ def test_fused_stitch_matches_staged():
     assert (d > 10).mean() < 0.02, (d.max(), (d > 10).mean())
 
 
+def test_fused_stitch_flags_envelope_violation():
+    """A homography outside the warp kernel's envelope must clear the `safe`
+    flag so stitch_pair_fast falls back to the staged path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # 30-degree rotation between the views: far beyond the kernel's
+    # row-tilt budget (supports_homography rejects it too).
+    import cv2
+
+    left, right = translated_pair()
+    th = np.deg2rad(30)
+    rot = cv2.getRotationMatrix2D((80, 64), 30, 1.0)
+    right_rot = cv2.warpAffine(right, rot, (160, 128))
+
+    stitcher = PairStitcher(SMALL, print_timing=False)
+    with pltpu.force_tpu_interpret_mode():
+        packed_out, _, _ = stitcher._fused_stitch(
+            jnp.asarray(left), jnp.asarray(right_rot)
+        )
+    v = np.asarray(packed_out)
+    if v[11] > 0.5:  # only meaningful if RANSAC found the rotated model
+        h = v[:9].reshape(3, 3)
+        # Rotation magnitude recovered -> envelope must reject.
+        if abs(h[1, 0]) > 0.2:
+            assert v[18] < 0.5, "expected kernel_safe=0 for 30deg rotation"
+
+
 def test_timing_lines_contract(capsys):
     """The stdout stage lines are a machine-readable API (SURVEY §1)."""
     left, right = translated_pair()
