@@ -9,7 +9,7 @@
 // Functions:
 //   ph_version()                       -> ABI version int
 //   ph_imread_dims(path, &h, &w)       -> 0 ok / -1 unreadable
-//   ph_imread_fill(path, buf)          -> decode BGR u8 into caller buffer
+//   ph_imread_fill(path, buf, h, w)    -> decode BGR u8 into caller buffer
 //   ph_imwrite(path, buf, h, w)        -> encode + write (extension-driven)
 //   ph_read_dir(dir, paths_out, cap)   -> newline-joined sorted regular files
 //
@@ -29,7 +29,7 @@ namespace fs = std::filesystem;
 
 extern "C" {
 
-int ph_version() { return 1; }
+int ph_version() { return 2; }
 
 // Returns 0 and fills h/w on success; -1 if the file cannot be decoded.
 int ph_imread_dims(const char* path, int* h, int* w) {
@@ -41,9 +41,13 @@ int ph_imread_dims(const char* path, int* h, int* w) {
 }
 
 // Decodes into caller-provided buffer of size h*w*3 (BGR, row-major).
-int ph_imread_fill(const char* path, unsigned char* buf) {
+// h/w are the dimensions the caller sized the buffer from (an earlier
+// ph_imread_dims call); if this decode disagrees (file changed between the
+// two calls) return -1 instead of overflowing the buffer.
+int ph_imread_fill(const char* path, unsigned char* buf, int h, int w) {
   cv::Mat img = cv::imread(path, cv::IMREAD_COLOR);
   if (img.empty()) return -1;
+  if (img.rows != h || img.cols != w) return -1;
   if (!img.isContinuous()) img = img.clone();
   std::memcpy(buf, img.data, static_cast<size_t>(img.total()) * 3);
   return 0;

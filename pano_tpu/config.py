@@ -54,6 +54,11 @@ class HarrisOptions:
     def __post_init__(self):
         if self.nms_neighborhood % 2 != 1:
             raise ValueError("nms_neighborhood must be odd")
+        if self.nms_neighborhood < 3:
+            # The 2x2 block reduction before top-K (ops/harris.py) is
+            # lossless only when NMS guarantees pairwise non-adjacent peaks,
+            # which needs a neighborhood of at least 3.
+            raise ValueError("nms_neighborhood must be >= 3")
         if self.patch_size % 2 != 1:
             raise ValueError("patch_size must be odd")
 

@@ -56,7 +56,7 @@ def _load_native():
             try:
                 lib = ctypes.CDLL(cand)
                 lib.ph_version.restype = ctypes.c_int
-                if lib.ph_version() != 1:
+                if lib.ph_version() != 2:
                     return None
                 lib.ph_imread_dims.argtypes = [
                     ctypes.c_char_p,
@@ -66,6 +66,8 @@ def _load_native():
                 lib.ph_imread_fill.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_int,
+                    ctypes.c_int,
                 ]
                 lib.ph_imwrite.argtypes = [
                     ctypes.c_char_p,
@@ -106,6 +108,8 @@ def imread_bgr(path: str) -> Optional[np.ndarray]:
             _NATIVE.ph_imread_fill(
                 path.encode(),
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                h.value,
+                w.value,
             )
             != 0
         ):

@@ -19,10 +19,12 @@ TPU-native design decisions:
   * NMS "strictly greater than every neighbor" (src/serial/main.cpp:164-179,
     including the tie-rejection implied by `resp > max_resp`) is computed
     exactly via a max over the k*k-1 shifted neighbor planes.
-  * Gray conversion reproduces cv::cvtColor's fixed-point BGR2GRAY
-    (R*4899 + G*9617 + B*1868 + 8192) >> 14 so responses match the
-    reference's `cvtColor -> convertTo(CV_64F)` path (src/serial/main.cpp:
-    123-129) except for f32-vs-f64 rounding in the conv chain.
+  * Gray conversion uses float BT.601 weights (0.299/0.587/0.114) with
+    round-half-to-even (bgr_to_gray_f32 below), matching cv::cvtColor's
+    fixed-point BGR2GRAY to within +-1 on rounding-boundary pixels, so
+    responses track the reference's `cvtColor -> convertTo(CV_64F)` path
+    (src/serial/main.cpp:123-129) up to f32-vs-f64 rounding in the conv
+    chain.
 """
 
 from __future__ import annotations

@@ -21,7 +21,8 @@ panorama homographies, and host-side guards (`supports_homography`) fall
 back to the exact XLA path when the warp is too tilted or too zoomed.
 
 Memory plan per (128, 128) output tile:
-  * the source image is packed BGRA into int32 (alpha=255; the 1-px black
+  * the source image is packed BGRA into int32 (alpha=127 inside the image —
+    255<<24 would overflow positive int32, see pack_bgra; the 1-px black
     border and all padding have alpha=0, reproducing cv2's BORDER_CONSTANT
     blending at edges) and padded so any clamped window fits;
   * one async DMA pulls the (WIN_H, WIN_W) source window (dynamic, aligned

@@ -254,10 +254,16 @@ class PairStitcher:
         )
 
         # In-graph kernel-envelope check (the device-side twin of
-        # pallas_warp.supports_homography) + window-coverage check.
+        # pallas_warp.supports_homography) + window-coverage check + canvas
+        # fit check: for small images win_h/win_w can exceed the 2*dim+2
+        # padding margin, so a valid H may need a canvas larger than the
+        # static worst case — fall back to the exact staged path rather than
+        # silently truncating at the [:canvas_h, :canvas_w] crop.
         safe = (
             (cx.max() - cx.min() + 6.0 < win_w)
             & (cy.max() - cy.min() + 6.0 < win_h)
+            & (canvas_h <= pad_h)
+            & (canvas_w <= pad_w)
             & pallas_warp.envelope_ok_device(m_inv, wx0, wy0, win_h, win_w)
         )
 
