@@ -13,12 +13,17 @@ Env vars must be set before jax initializes, hence this top-level block.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PANO_TPU_TESTS=1 leaves the real backend in place so @pytest.mark.tpu
+# tests can run on hardware (bench sessions: PANO_TPU_TESTS=1 pytest -m tpu).
+_TPU_SESSION = bool(os.environ.get("PANO_TPU_TESTS"))
+
+if not _TPU_SESSION:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # override jax_platforms at import time; force CPU at the config level too.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_SESSION:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
