@@ -10,11 +10,14 @@
 
 SCRIPT_DIR="$( cd "$( dirname "${BASH_SOURCE[0]}" )" &> /dev/null && pwd )"
 PYTHON="${PYTHON:-python3}"
+BUILD_DIR="$SCRIPT_DIR/native/build"
+NO_GPU=false
 
 usage() {
     echo "Usage:"
-    echo "  $0 build"
+    echo "  $0 build [--no-gpu] [--build-dir=DIR]"
     echo "      Verify the environment (imports, JAX backend, native exts)"
+    echo "      --no-gpu: CPU-only JAX check; --build-dir: native build dir"
     echo ""
     echo "  $0 run <implementation> <image1> <image2> [<image3> ...] [options]"
     echo "      Run an implementation with image files"
@@ -30,6 +33,9 @@ usage() {
     echo "Options for 'run' and 'perf':"
     echo "  --dir <directory>      Use all images in the specified directory"
     echo "  --out <filename>       Output filename (default: result.jpg)"
+    echo "  --no-gpu               Force the CPU JAX backend (reference:"
+    echo "                         gpu-less build dirs, pano.sh --no-gpu)"
+    echo "  (plus pipeline flags: --mode, --blend, --parity, --json, ...)"
     echo ""
     echo "Examples:"
     echo "  $0 run tpu images/mountain/mountain1.jpg images/mountain/mountain2.jpg"
@@ -45,18 +51,55 @@ fi
 COMMAND=$1
 shift
 
+# Strip driver-level options shared by run/perf (reference
+# process_common_args, /root/reference/pano.sh:60-76): --build-dir= points
+# at an alternate native build, --no-gpu forces the CPU JAX backend (the
+# analog of the reference's gpu-less build dirs / BUILD_GPU=OFF).
+process_common_args() {
+    COMMON_ARGS=()
+    while [ $# -gt 0 ]; do
+        case $1 in
+            --build-dir=*)
+                BUILD_DIR="${1#*=}"
+                ;;
+            --no-gpu)
+                NO_GPU=true
+                ;;
+            *)
+                COMMON_ARGS+=("$1")
+                ;;
+        esac
+        shift
+    done
+}
+
+run_env() {
+    # Environment for pano_tpu.cli invocations, honoring the driver flags.
+    ENV_VARS=(PYTHONPATH="$SCRIPT_DIR:$PYTHONPATH")
+    [ -f "$BUILD_DIR/libpano_host.so" ] && \
+        ENV_VARS+=(PANO_HOST_LIB="$BUILD_DIR/libpano_host.so")
+    $NO_GPU && ENV_VARS+=(PANO_TPU_FORCE_CPU=1 JAX_PLATFORMS=cpu)
+}
+
 case $COMMAND in
     build)
+        process_common_args "$@"
         echo "=== Building pano_tpu ==="
         cd "$SCRIPT_DIR" || exit 1
         if command -v cmake >/dev/null 2>&1; then
-            echo "Building native host library (native/pano_host.cpp)..."
-            (cd native && cmake -B build -G Ninja . >/dev/null && \
-                cmake --build build >/dev/null) \
-                && echo "native: native/build/libpano_host.so" \
+            echo "Building native host library (native/pano_host.cpp) in $BUILD_DIR..."
+            (cd native && cmake -B "$BUILD_DIR" -G Ninja . >/dev/null && \
+                cmake --build "$BUILD_DIR" >/dev/null) \
+                && echo "native: $BUILD_DIR/libpano_host.so" \
                 || echo "native build failed (Python fallback will be used)"
         fi
-        "$PYTHON" - <<'EOF' || { echo "Build check failed"; exit 1; }
+        BUILD_ENV=()
+        $NO_GPU && BUILD_ENV=(env PANO_TPU_FORCE_CPU=1 JAX_PLATFORMS=cpu)
+        "${BUILD_ENV[@]}" "$PYTHON" - <<'EOF' || { echo "Build check failed"; exit 1; }
+import os
+if os.environ.get("PANO_TPU_FORCE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 import jax
 import pano_tpu
 print(f"pano_tpu {pano_tpu.__version__}")
@@ -73,8 +116,10 @@ EOF
         fi
         IMPL=$1
         shift
+        process_common_args "$@"
+        run_env
         echo "Running $IMPL implementation..."
-        PYTHONPATH="$SCRIPT_DIR:$PYTHONPATH" "$PYTHON" -m pano_tpu.cli "$IMPL" "$@"
+        env "${ENV_VARS[@]}" "$PYTHON" -m pano_tpu.cli "$IMPL" "${COMMON_ARGS[@]}"
         if [ $? -eq 0 ]; then
             echo "Stitching completed successfully!"
         else
@@ -89,10 +134,12 @@ EOF
         fi
         IMPL=$1
         shift
+        process_common_args "$@"
+        run_env
         TRACE_DIR="${SCRIPT_DIR}/${IMPL}_perf_trace"
         echo "Running performance profiling on $IMPL implementation..."
-        PYTHONPATH="$SCRIPT_DIR:$PYTHONPATH" PANO_TPU_PROFILE="$TRACE_DIR" \
-            "$PYTHON" -m pano_tpu.cli "$IMPL" "$@" | tee "${IMPL}_perf_report.txt"
+        env "${ENV_VARS[@]}" PANO_TPU_PROFILE="$TRACE_DIR" \
+            "$PYTHON" -m pano_tpu.cli "$IMPL" "${COMMON_ARGS[@]}" | tee "${IMPL}_perf_report.txt"
         if [ ${PIPESTATUS[0]} -eq 0 ]; then
             echo "Performance profiling completed successfully!"
             echo "Performance report saved to ${IMPL}_perf_report.txt"

@@ -94,12 +94,61 @@ def _maybe_profile():
         yield
 
 
+def _write_json_stats(path, impl, mode, config, output_file, panorama):
+    """Machine-readable run stats (--json): the stdout timing contract plus
+    config and result geometry, for tooling that shouldn't scrape stdout."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from pano_tpu.timer import STAGE_RECORDS
+
+    stats = {
+        "impl": impl,
+        "mode": mode,
+        "backend": jax.default_backend(),
+        "num_devices": len(jax.devices()),
+        "config": {
+            "harris": dataclasses.asdict(config.harris),
+            "ransac": dataclasses.asdict(config.ransac),
+            "stitch": dataclasses.asdict(config.stitch),
+        },
+        "stages": list(STAGE_RECORDS),
+        "output_file": output_file,
+        "panorama_shape": (
+            list(panorama.shape) if panorama is not None else None
+        ),
+        "ok": panorama is not None,
+    }
+    with open(path, "w") as f:
+        json.dump(stats, f, indent=2)
+        f.write("\n")
+
+
 def run(
     impl: str,
     argv: Sequence[str],
     config: PanoConfig = DEFAULT_CONFIG,
 ) -> int:
+    import os
+
+    from pano_tpu.timer import reset_stage_records
+
+    reset_stage_records()
     total = Timer()
+    if os.environ.get("PANO_TPU_FORCE_CPU"):
+        # pano.sh's --no-gpu (reference: cmake BUILD_GPU=OFF + gpu-less build
+        # dirs, /root/reference/pano.sh:146-161): CPU-only JAX for ANY impl.
+        # Pin at the config level too — an accelerator sitecustomize may
+        # have already overridden the env var.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        try:
+            _jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     impl = IMPL_ALIASES.get(impl, impl)
     if impl not in IMPLS:
         print(
@@ -110,10 +159,25 @@ def run(
         )
         return -1
 
-    # Extended flags (ours; stripped before the reference-parity reader):
-    #   --mode fold|chain              multi-image strategy
+    # Extended flags (ours; stripped before the reference-parity reader).
+    # Every HarrisCornerOptions/RansacOptions field is reachable — the
+    # reference's mains set them all explicitly (src/serial/main.cpp:428-435)
+    # but expose none on the command line; we expose the full surface:
+    #   --mode fold|chain|auto         multi-image strategy
     #   --blend overlay|feather|multiband   compositing (reference: overlay)
-    #   --kpts N / --iters N           keypoint cap / RANSAC iterations
+    #   --k F --nms-thresh F --nms-size N --patch N --ssd-thresh F
+    #                                  HarrisCornerOptions fields
+    #   --kpts N                       static keypoint capacity (top-K)
+    #   --ratio F (0=off) --cross-check on|off --topk exact|approx
+    #                                  matching robustness (TPU additions)
+    #   --iters N --dist F --seed N --refine on|off --min-inliers N
+    #                                  RansacOptions fields
+    #   --parity                       reference-semantics preset: raw argmin
+    #                                  matching (no ratio/cross-check), exact
+    #                                  top-K, overlay blend, fold mode
+    #   --warmup                       one untimed run first (pays compiles)
+    #   --json FILE                    machine-readable run stats (stages,
+    #                                  config, output) in addition to stdout
     argv = list(argv)
 
     def take_flag(name, allowed=None):
@@ -131,40 +195,97 @@ def run(
             raise SystemExit(-1)
         return val
 
-    warmup = "--warmup" in argv  # run once untimed first (pays compiles)
-    if warmup:
-        argv.remove("--warmup")
-    mode = take_flag("--mode", ("fold", "chain", "auto")) or "fold"
+    def take_switch(name):
+        if name in argv:
+            argv.remove(name)
+            return True
+        return False
+
+    _ONOFF = {"on": True, "off": False, "true": True, "false": False,
+              "1": True, "0": False}
+
+    warmup = take_switch("--warmup")
+    parity = take_switch("--parity")
+    mode = take_flag("--mode", ("fold", "chain", "auto"))
     blend = take_flag("--blend", ("overlay", "feather", "multiband"))
-    kpts = take_flag("--kpts")
-    iters = take_flag("--iters")
-    if blend or kpts or iters:
+    json_out = take_flag("--json")
+
+    harris_over = {}
+    for flag, field, conv in (
+        ("--k", "k", float),
+        ("--nms-thresh", "nms_thresh", float),
+        ("--nms-size", "nms_neighborhood", int),
+        ("--patch", "patch_size", int),
+        ("--ssd-thresh", "max_ssd_thresh", float),
+        ("--kpts", "max_keypoints", int),
+        ("--ratio", "ratio_thresh", float),
+        ("--topk", "topk_method", str),
+    ):
+        v = take_flag(flag, ("exact", "approx") if field == "topk_method"
+                      else None)
+        if v is not None:
+            harris_over[field] = conv(v)
+    v = take_flag("--cross-check", tuple(_ONOFF))
+    if v is not None:
+        harris_over["cross_check"] = _ONOFF[v]
+
+    ransac_over = {}
+    for flag, field, conv in (
+        ("--iters", "num_iterations", int),
+        ("--dist", "distance_threshold", float),
+        ("--seed", "seed", int),
+        ("--min-inliers", "min_inliers", int),
+    ):
+        v = take_flag(flag)
+        if v is not None:
+            ransac_over[field] = conv(v)
+    v = take_flag("--refine", tuple(_ONOFF))
+    if v is not None:
+        ransac_over["refine"] = _ONOFF[v]
+
+    if parity:
+        # Reference pipeline semantics end-to-end (raw argmin SSD matching
+        # src/serial/main.cpp:188-244, exact selection, overlay blend
+        # :380-386, left-fold :395-414); explicit flags still override.
+        harris_over = {
+            "ratio_thresh": 0.0, "cross_check": False,
+            "topk_method": "exact", **harris_over,
+        }
+        blend = blend or "overlay"
+        mode = mode or "fold"
+    mode = mode or "fold"
+
+    if harris_over or ransac_over or blend:
         import dataclasses
 
+        if harris_over:
+            config = config.replace(
+                harris=dataclasses.replace(config.harris, **harris_over)
+            )
+        if ransac_over:
+            config = config.replace(
+                ransac=dataclasses.replace(config.ransac, **ransac_over)
+            )
         if blend:
             config = config.replace(
                 stitch=dataclasses.replace(config.stitch, blend=blend)
             )
-        if kpts:
-            config = config.replace(
-                harris=dataclasses.replace(
-                    config.harris, max_keypoints=int(kpts)
-                )
-            )
-        if iters:
-            config = config.replace(
-                ransac=dataclasses.replace(
-                    config.ransac, num_iterations=int(iters)
-                )
-            )
 
+    # The OpenCV baseline times three phases — reading, stitching, saving —
+    # with reference-exact labels (src/opencv/main.cpp:40-88).
+    t_read = Timer()
+    if impl == "opencv":
+        print("Reading input images...", flush=True)
     reader = read_images_from_args(argv)
+    if impl == "opencv":
+        print_stage("Reading input images", t_read.elapsed())
     if len(reader.images) < 2:
         print("At least two images are required for stitching!", file=sys.stderr)
         return -1
 
     tag = ""
     if impl == "opencv":
+        print(f"Number of images loaded: {len(reader.images)}", flush=True)
         panorama = _opencv_stitch(reader.images)
         tag = "OpenCV"
     else:
@@ -175,8 +296,6 @@ def run(
             # enough — an accelerator sitecustomize may have already set it —
             # so force it at the config level too (no-op if a backend is
             # already live; _platform_config then handles kernel gating).
-            import os
-
             os.environ["JAX_PLATFORMS"] = "cpu"
             import jax as _jax
 
@@ -208,9 +327,13 @@ def run(
                 f"Number of Available Devices: {len(jax.devices())}",
                 flush=True,
             )
+            if warmup:
+                stitch_all_images_sharded(
+                    reader.images, config, timing_tag=tag, mode=mode
+                )
             with _maybe_profile():
                 panorama = stitch_all_images_sharded(
-                    reader.images, config, timing_tag=tag
+                    reader.images, config, timing_tag=tag, mode=mode
                 )
             if panorama is None:
                 print("Panoramic stitching failed!", file=sys.stderr)
@@ -219,6 +342,10 @@ def run(
             print(f"Stitched result saved to {reader.output_file}", flush=True)
             print()
             print_stage(f"Total Execution Time ({tag})", total.elapsed())
+            if json_out:
+                _write_json_stats(
+                    json_out, impl, mode, config, reader.output_file, panorama
+                )
             return 0
 
         if warmup:
@@ -237,13 +364,26 @@ def run(
 
     if panorama is None:
         print("Panoramic stitching failed!", file=sys.stderr)
+        if json_out:
+            _write_json_stats(
+                json_out, impl, mode, config, reader.output_file, None
+            )
         return -1
 
+    t_save = Timer()
+    if impl == "opencv":
+        print("Saving panorama...", flush=True)
     imwrite_bgr(reader.output_file, panorama)
+    if impl == "opencv":
+        print_stage("Saving panorama", t_save.elapsed())
     print(f"Stitched result saved to {reader.output_file}", flush=True)
     print()
     label = f"Total Execution Time ({tag})" if tag else "Total Execution Time"
     print_stage(label, total.elapsed())
+    if json_out:
+        _write_json_stats(
+            json_out, impl, mode, config, reader.output_file, panorama
+        )
     return 0
 
 

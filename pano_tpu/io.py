@@ -49,9 +49,12 @@ def _load_native():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for cand in (
+        os.environ.get("PANO_HOST_LIB", ""),  # pano.sh --build-dir=
         os.path.join(here, "native", "build", "libpano_host.so"),
         os.path.join(here, "libpano_host.so"),
     ):
+        if not cand:
+            continue
         if os.path.exists(cand):
             try:
                 lib = ctypes.CDLL(cand)

@@ -175,6 +175,133 @@ def batched_stitch_step(
     return jax.jit(fn)(lefts, rights)
 
 
+def fused_estimate_batched(
+    lefts: jnp.ndarray,          # (B, H, W, 3) uint8
+    rights: jnp.ndarray,         # (B, H, W, 3) uint8
+    config: PanoConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+):
+    """The single-dispatch fused estimation protocol (pipeline.PairStitcher.
+    _fused_estimate_impl), batched and sharded over the 'data' mesh axis.
+
+    Returns (packed (B, 13) f32 on device, (pts_q, pts_t, valid) on device).
+    Packed layout per pair matches the pipeline's fused protocol:
+    [H.ravel() (9), inlier_count, num_matches, ok, match_count]. The caller
+    fetches `packed` with ONE host round trip for the whole batch (each sync
+    costs 30-85 ms through the axon tunnel); match points stay on device for
+    the rare low-inlier OpenCV-fallback path.
+    """
+    h_opts, r_opts = config.harris, config.ransac
+
+    def one(left, right):
+        pq, pt, v = _pair_points(left, right, h_opts)
+        res = ransac_ops.ransac_homography(pq, pt, v, r_opts)
+        packed = jnp.concatenate(
+            [
+                res.H.reshape(-1).astype(jnp.float32),
+                jnp.stack(
+                    [
+                        res.inlier_count.astype(jnp.float32),
+                        res.num_matches.astype(jnp.float32),
+                        res.ok.astype(jnp.float32),
+                        jnp.sum(v.astype(jnp.float32)),  # match count
+                    ]
+                ),
+            ]
+        )
+        return packed, (pq, pt, v)
+
+    fn = jax.vmap(one)
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("data"))
+        lefts = jax.device_put(lefts, spec)
+        rights = jax.device_put(rights, spec)
+        fn = jax.jit(fn, in_shardings=(spec, spec))
+    else:
+        fn = jax.jit(fn)
+    return fn(lefts, rights)
+
+
+def composite_pairs_batched(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    hs: np.ndarray,              # (B, 3, 3) float64, right->left
+    ok: np.ndarray,              # (B,) bool
+    config: PanoConfig = DEFAULT_CONFIG,
+    mesh: Optional[Mesh] = None,
+) -> List[Optional[np.ndarray]]:
+    """Batched warp+blend: pairs whose bucketed (canvas, window) sizes agree
+    run as ONE vmapped dispatch, sharded over 'data' when the group divides
+    the mesh — the compositing half of throughput mode scales with device
+    count instead of looping on the host (canvas geometry itself stays host
+    3x3 math, as in PairStitcher.composite)."""
+    from pano_tpu.ops import warp as warp_ops
+
+    cfg = config.stitch
+    hr, wr = int(rights.shape[1]), int(rights.shape[2])
+    b_total = int(lefts.shape[0])
+
+    def _r(x, m):
+        return ((x + m - 1) // m) * m
+
+    # Host-side canvas geometry per pair; group by the static dims.
+    groups: dict = {}
+    geo: List[Optional[tuple]] = [None] * b_total
+    for b in range(b_total):
+        if not ok[b]:
+            continue
+        (ch, cw), t_mat, (mx, my) = warp_ops.compute_canvas_geometry(
+            hs[b], lefts[b].shape[:2], rights[b].shape[:2]
+        )
+        m = t_mat @ hs[b]
+        m_inv = np.linalg.inv(m)
+        pad_h = _r(ch, cfg.canvas_bucket)
+        pad_w = _r(cw, cfg.canvas_bucket)
+        corners = warp_ops.warp_corners(m, hr, wr)
+        wx0 = max(0, int(np.floor(corners[:, 0].min())) - 2)
+        wy0 = max(0, int(np.floor(corners[:, 1].min())) - 2)
+        wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
+        wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
+        win_w = min(_r(max(wx1 - wx0, 1), cfg.canvas_bucket), pad_w)
+        win_h = min(_r(max(wy1 - wy0, 1), cfg.canvas_bucket), pad_h)
+        wx0 = min(wx0, pad_w - win_w)
+        wy0 = min(wy0, pad_h - win_h)
+        key = (pad_h, pad_w, win_h, win_w)
+        geo[b] = (m_inv, int(-mx), int(-my), wx0, wy0, ch, cw)
+        groups.setdefault(key, []).append(b)
+
+    out: List[Optional[np.ndarray]] = [None] * b_total
+    for (pad_h, pad_w, win_h, win_w), idxs in groups.items():
+
+        def one(left, right, m_inv, tx, ty, wx, wy):
+            return warp_ops.warp_and_blend(
+                left, right, m_inv, tx, ty, pad_h, pad_w, cfg.blend,
+                win_x=wx, win_y=wy, win_h=win_h, win_w=win_w,
+            )
+
+        gl = jnp.stack([lefts[b] for b in idxs])
+        gr = jnp.stack([rights[b] for b in idxs])
+        gm = jnp.asarray(np.stack([geo[b][0] for b in idxs]), jnp.float32)
+        gtx = jnp.asarray([geo[b][1] for b in idxs], jnp.int32)
+        gty = jnp.asarray([geo[b][2] for b in idxs], jnp.int32)
+        gwx = jnp.asarray([geo[b][3] for b in idxs], jnp.int32)
+        gwy = jnp.asarray([geo[b][4] for b in idxs], jnp.int32)
+        fn = jax.vmap(one)
+        if mesh is not None and len(idxs) % mesh.shape["data"] == 0:
+            spec = NamedSharding(mesh, P("data"))
+            gl = jax.device_put(gl, spec)
+            gr = jax.device_put(gr, spec)
+            fn = jax.jit(fn, in_shardings=(spec, spec, None, None, None,
+                                           None, None))
+        else:
+            fn = jax.jit(fn)
+        canvases = np.asarray(fn(gl, gr, gm, gtx, gty, gwx, gwy))
+        for row, b in enumerate(idxs):
+            ch, cw = geo[b][5], geo[b][6]
+            out[b] = canvases[row, :ch, :cw]
+    return out
+
+
 def stitch_pairs_batched(
     lefts: jnp.ndarray,          # (B, H, W, 3) uint8 — same-shape pairs
     rights: jnp.ndarray,         # (B, H, W, 3) uint8
@@ -184,26 +311,17 @@ def stitch_pairs_batched(
     """Throughput mode: stitch a batch of independent pairs.
 
     Homography estimation runs batched and sharded over the mesh's 'data'
-    axis (estimate_homographies_batched); compositing runs per pair (canvas
-    sizes are data-dependent). Returns a list of host uint8 panoramas (None
-    for failed pairs).
+    axis (estimate_homographies_batched); compositing runs batched per
+    (canvas, window) size bucket (composite_pairs_batched) so both halves of
+    the pipeline scale with device count. Returns a list of host uint8
+    panoramas (None for failed pairs).
     """
-    from pano_tpu.pipeline import PairStitcher
-
     hs, counts, ok = estimate_homographies_batched(
         lefts, rights, config, mesh
     )
     hs = np.asarray(hs, np.float64)
     ok = np.asarray(ok)
-    stitcher = PairStitcher(config, print_timing=False)
-    out: List[Optional[np.ndarray]] = []
-    for b in range(lefts.shape[0]):
-        if not ok[b]:
-            out.append(None)
-            continue
-        canvas = stitcher.composite(lefts[b], rights[b], hs[b])
-        out.append(np.asarray(canvas))
-    return out
+    return composite_pairs_batched(lefts, rights, hs, ok, config, mesh)
 
 
 # --------------------------------------------------------------------------
@@ -243,20 +361,125 @@ def match_descriptors_sharded(
 # Sharded fold (drop-in for pipeline.stitch_all_images)
 # --------------------------------------------------------------------------
 
+def stitch_all_images_chain_sharded(
+    images: List[np.ndarray],
+    config: PanoConfig = DEFAULT_CONFIG,
+    timing_tag: str = "Sharded",
+    mesh: Optional[Mesh] = None,
+    print_timing: bool = True,
+) -> Optional[np.ndarray]:
+    """Chain-mode stitching with ALL adjacent-pair estimations in one
+    sharded dispatch and ONE host fetch for the whole batch.
+
+    The TPU answer to the reference OpenMP path's total-time contract
+    (src/openmp/main.cpp:563-606): n-1 fused estimate graphs become a single
+    vmapped+sharded graph over the 'data' mesh axis, so the host pays one
+    tunnel round trip regardless of image count. Homographies compose into
+    the first image's frame; compositing reuses pipeline.composite_global.
+
+    Heterogeneous image shapes can't batch — those fall back to the
+    single-device chain (which still pipelines its dispatches).
+    """
+    from pano_tpu import pipeline
+
+    t = Timer()
+    n = len(images)
+    if n == 0:
+        return None
+    if n < 2 or len({im.shape for im in images}) != 1:
+        return pipeline.stitch_all_images_chain(
+            images, config, print_timing=print_timing, timing_tag=timing_tag
+        )
+    if mesh is None:
+        mesh = make_mesh(n_hyp=1)
+    n_data = mesh.shape["data"]
+
+    stack = jnp.stack([jnp.asarray(im, jnp.uint8) for im in images])
+    lefts, rights = stack[:-1], stack[1:]
+    b = n - 1
+    pad = (-b) % n_data
+    if pad:  # pad the batch to the data-axis multiple; padded rows ignored
+        lefts = jnp.concatenate([lefts, lefts[-1:].repeat(pad, axis=0)])
+        rights = jnp.concatenate([rights, rights[-1:].repeat(pad, axis=0)])
+
+    packed_dev, pts = fused_estimate_batched(lefts, rights, config, mesh)
+    v = np.asarray(packed_dev)               # THE single batch host sync
+
+    stitcher = pipeline.PairStitcher(config, print_timing=False)
+    devs = [stack[i] for i in range(n)]
+    globals_h: List[Optional[np.ndarray]] = [np.eye(3)]
+    last_good = 0
+    for i in range(1, n):
+        if print_timing:
+            print(f"Stitching image {i + 1} of {n}...", flush=True)
+        row = v[i - 1]
+        h: Optional[np.ndarray] = row[:9].reshape(3, 3).astype(np.float64)
+        ok = row[11] > 0.5
+        if last_good != i - 1:
+            # Previous pair failed: re-anchor against the last chained image
+            # (the fold's skip semantics, src/serial/main.cpp:404-407).
+            h = stitcher.estimate_homography(devs[last_good], devs[i])
+        elif int(row[12]) == 0:
+            print("Not enough matched corners for stitching!", file=sys.stderr)
+            h = None
+        elif not ok:
+            # Low-inlier gate: fetch this pair's match points (rare path) for
+            # the OpenCV RANSAC fallback (src/gpu/ransac.cu:499-511).
+            pq = np.asarray(pts[0][i - 1])
+            pt_ = np.asarray(pts[1][i - 1])
+            vv = np.asarray(pts[2][i - 1])
+            h_cv = stitcher._opencv_fallback_h(pq, pt_, vv)
+            if h_cv is not None:
+                h = h_cv
+            elif int(row[9]) <= 0:
+                h = None
+        if h is None:
+            print(f"Failed to stitch image {i}!", file=sys.stderr)
+            globals_h.append(None)
+            continue
+        globals_h.append(globals_h[last_good] @ h)
+        last_good = i
+
+    result = pipeline.composite_global(
+        [np.asarray(im) for im in images], devs, globals_h, config, anchor=0
+    )
+    if print_timing:
+        print_stage(f"Total Stitching Process ({timing_tag})", t.elapsed())
+    return result
+
+
 def stitch_all_images_sharded(
     images: List[np.ndarray],
     config: PanoConfig = DEFAULT_CONFIG,
     timing_tag: str = "Sharded",
     mesh: Optional[Mesh] = None,
+    mode: str = "fold",
 ) -> Optional[np.ndarray]:
-    """Left-fold stitch with RANSAC hypotheses sharded over all devices.
+    """Sharded multi-image stitching.
 
-    The fold itself is sequential (each stitch depends on the previous
-    panorama — the reference has the same serialization point,
+    mode='chain' (recommended): one batched+sharded estimation dispatch for
+    all adjacent pairs (stitch_all_images_chain_sharded).
+
+    mode='fold': the reference's left-fold with RANSAC hypotheses sharded
+    over all devices. The fold itself is sequential (each stitch depends on
+    the previous panorama — the reference has the same serialization point,
     src/serial/main.cpp:395-414); within each pair, the hypothesis search
     runs across the mesh.
+
+    mode='auto': unordered all-pairs ordering on the default device
+    (pipeline.stitch_all_images_auto; the all-pairs estimates are
+    dispatch-pipelined but not yet mesh-sharded).
     """
     from pano_tpu.pipeline import PairStitcher, stitch_all_images
+
+    if mode == "chain":
+        return stitch_all_images_chain_sharded(
+            images, config, timing_tag=timing_tag, mesh=mesh
+        )
+    if mode == "auto":
+        return stitch_all_images(
+            images, config, timing_tag=timing_tag, mode="auto"
+        )
 
     n_dev = len(jax.devices())
     if n_dev <= 1 or len(images) < 2:

@@ -49,8 +49,18 @@ class Timer:
         self._start = time.perf_counter()
 
 
+# Machine-readable stage record, populated by every print_stage call; the
+# CLI's --json option dumps it (SURVEY §5 observability plan). Reset per run.
+STAGE_RECORDS: list = []
+
+
+def reset_stage_records() -> None:
+    STAGE_RECORDS.clear()
+
+
 def print_stage(name: str, ms: float) -> None:
     # Exact reference format: fixed, 3 decimals (src/serial/main.cpp:183).
+    STAGE_RECORDS.append({"stage": name, "ms": round(ms, 3)})
     print(f"{name}: {ms:.3f} ms", flush=True)
 
 

@@ -146,3 +146,66 @@ def test_stitch_all_images_sharded_end_to_end():
     pano = shard.stitch_all_images_sharded(imgs, SMALL, timing_tag="Sharded")
     assert pano is not None
     assert pano.shape[1] >= 220
+
+
+def test_fused_estimate_batched_packed_protocol():
+    """Sharded fused protocol returns the pipeline's packed layout."""
+    mesh = shard.make_mesh(n_data=8, n_hyp=1)
+    lefts, rights = make_pair_batch(8)
+    packed, pts = shard.fused_estimate_batched(lefts, rights, SMALL, mesh)
+    v = np.asarray(packed)                  # one fetch for the whole batch
+    assert v.shape == (8, 13)
+    assert (v[:, 11] > 0.5).all()           # ok flag
+    assert (v[:, 12] > 8).all()             # match counts
+    hs = v[:, :9].reshape(8, 3, 3)
+    np.testing.assert_allclose(hs[:, 0, 2], -32.0, atol=1.0)
+
+
+def test_composite_pairs_batched_matches_per_pair_composite():
+    """Bucketed batched compositing == the per-pair composite path."""
+    from pano_tpu.pipeline import PairStitcher
+
+    mesh = shard.make_mesh(n_data=4, n_hyp=1)
+    lefts, rights = make_pair_batch(4)
+    hs, counts, ok = shard.estimate_homographies_batched(
+        lefts, rights, SMALL, mesh
+    )
+    hs = np.asarray(hs, np.float64)
+    ok = np.asarray(ok)
+    batched = shard.composite_pairs_batched(
+        lefts, rights, hs, ok, SMALL, mesh
+    )
+    stitcher = PairStitcher(SMALL, print_timing=False)
+    for b in range(4):
+        ref = np.asarray(stitcher.composite(lefts[b], rights[b], hs[b]))
+        assert batched[b] is not None
+        np.testing.assert_array_equal(batched[b], ref)
+
+
+def test_stitch_all_images_chain_sharded():
+    """Chain mode: one sharded batch dispatch for all adjacent pairs."""
+    base = checkerboard_texture(96, 320, seed=7)
+    imgs = [
+        base[:, 0:128].copy(),
+        base[:, 64:192].copy(),
+        base[:, 128:256].copy(),
+        base[:, 192:320].copy(),
+    ]
+    mesh = shard.make_mesh(n_data=8, n_hyp=1)
+    pano = shard.stitch_all_images_chain_sharded(
+        imgs, SMALL, timing_tag="Sharded", mesh=mesh
+    )
+    assert pano is not None
+    # Four 128-wide images with 64-px steps span ~320 columns.
+    assert pano.shape[1] >= 310
+    assert pano.shape[0] >= 90
+
+
+def test_stitch_all_images_sharded_mode_dispatch():
+    base = checkerboard_texture(96, 224, seed=9)
+    imgs = [base[:, :128].copy(), base[:, 96:224].copy()]
+    pano = shard.stitch_all_images_sharded(
+        imgs, SMALL, timing_tag="Sharded", mode="chain"
+    )
+    assert pano is not None
+    assert pano.shape[1] >= 220
