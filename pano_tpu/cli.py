@@ -220,6 +220,7 @@ def run(
         ("--kpts", "max_keypoints", int),
         ("--ratio", "ratio_thresh", float),
         ("--topk", "topk_method", str),
+        ("--match-block", "match_block", int),
     ):
         v = take_flag(flag, ("exact", "approx") if field == "topk_method"
                       else None)

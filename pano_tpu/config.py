@@ -47,6 +47,12 @@ class HarrisOptions:
     topk_method: str = "approx"    # 'approx' (lax.approx_max_k, recall 0.95,
     #                                ~3x faster selection; drops only the
     #                                weakest few % of corners) | 'exact'
+    match_block: int = 0           # SSD matcher memory plan: 0 = auto (dense
+    #                                single matmul up to 512 MB, then stream
+    #                                train tiles); N > 0 forces the blockwise
+    #                                streaming path with tile N (the K x K
+    #                                matrix never materializes; bit-identical
+    #                                results — ops/match.py)
     use_pallas_scores: bool = True  # fused Pallas Harris-score kernel on TPU
     #                                (requires nms_neighborhood == 3; falls
     #                                back to the XLA chain otherwise / on CPU)

@@ -93,6 +93,13 @@ def extract_patch_descriptors(
     return desc, border_valid
 
 
+# Auto dispatch: stream the train axis when the (Kq, Kt) SSD matrix would
+# exceed this element count (512 MB f32). The default K=8192 stays on the
+# single-matmul dense path (256 MB, measured faster end-to-end).
+_DENSE_ELEM_LIMIT = 128 * 1024 * 1024
+_STREAM_TILE = 4096
+
+
 def match_descriptors(
     desc_q: jnp.ndarray,
     valid_q: jnp.ndarray,
@@ -101,6 +108,7 @@ def match_descriptors(
     max_ssd_thresh: float,
     ratio_thresh: float = 0.0,
     cross_check: bool = False,
+    block_size: int = 0,
 ) -> Matches:
     """Brute-force argmin-SSD matching of query descriptors against train.
 
@@ -113,7 +121,21 @@ def match_descriptors(
       * Lowe ratio test: reject if best >= ratio^2 * second-best — kills
         ambiguous matches on repetitive texture;
       * cross check: require the match to be a mutual nearest neighbor.
+
+    `block_size` selects the memory plan: 0 = auto (dense single matmul
+    below _DENSE_ELEM_LIMIT elements, else stream train tiles of
+    _STREAM_TILE); N > 0 forces the blockwise streaming path with tile N.
+    Both paths are bit-identical (see _match_descriptors_streaming).
     """
+    kq, kt = desc_q.shape[0], desc_t.shape[0]
+    if block_size == 0 and kq * kt > _DENSE_ELEM_LIMIT:
+        block_size = _STREAM_TILE
+    if block_size > 0 and kt > block_size:
+        return _match_descriptors_streaming(
+            desc_q, valid_q, desc_t, valid_t, max_ssd_thresh,
+            ratio_thresh, cross_check, block_size,
+        )
+
     q_sq = jnp.sum(desc_q * desc_q, axis=1)            # (Kq,)
     t_sq = jnp.sum(desc_t * desc_t, axis=1)            # (Kt,)
     # DEFAULT (bf16) precision is lossless here: descriptor entries are uint8
@@ -163,6 +185,103 @@ def match_descriptors(
     return Matches(train_idx=best_idx, ssd=best_ssd, valid=valid)
 
 
+def _match_descriptors_streaming(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    max_ssd_thresh: float,
+    ratio_thresh: float,
+    cross_check: bool,
+    block: int,
+) -> Matches:
+    """Blockwise streaming matcher: the (Kq, Kt) SSD matrix NEVER
+    materializes (the flash-attention trick applied to a distance matrix —
+    SURVEY §5 long-context analog; contrast the CUDA full-matrix allocation
+    at src/gpu/harris_matcher.cu:127).
+
+    A lax.scan streams train tiles of `block` columns; the carry holds, per
+    query row, the running (best, best_idx, second-best). Merging tile
+    results is exact: the two smallest of a union are among {run_best,
+    tile_best, run_second, tile_second}. The cross-check's per-train-column
+    best query needs no carry at all — each train column lives in exactly
+    one tile, so the tile-local column argmin is final. Tie-breaking matches
+    the dense path bit-for-bit: earlier tiles win ties (strict <), and the
+    in-tile argmin takes the lowest column index.
+
+    Peak live memory is Kq x block (64 MB at Kq=16384, block=4096, f32) vs
+    the dense path's Kq x Kt (1 GB at K=16384).
+    """
+    kq, kt = desc_q.shape[0], desc_t.shape[0]
+    ktp = _round_up(kt, block)
+    if ktp != kt:  # padded columns are invalid -> +inf, never win
+        desc_t = jnp.pad(desc_t, ((0, ktp - kt), (0, 0)))
+        valid_t = jnp.pad(valid_t, (0, ktp - kt))
+    n_tiles = ktp // block
+
+    q_sq = jnp.sum(desc_q * desc_q, axis=1)            # (Kq,)
+    t_tiles = desc_t.reshape(n_tiles, block, desc_t.shape[1])
+    v_tiles = valid_t.reshape(n_tiles, block)
+    bases = (jnp.arange(n_tiles, dtype=jnp.int32) * block)
+    cols = jnp.arange(block, dtype=jnp.int32)
+
+    def step(carry, xs):
+        best, best_idx, second = carry
+        dt, vt, base = xs
+        t_sq = jnp.sum(dt * dt, axis=1)                # (block,)
+        dots = jnp.dot(
+            desc_q, dt.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )                                               # (Kq, block) on MXU
+        ssd = q_sq[:, None] + t_sq[None, :] - 2.0 * dots
+        ssd = jnp.where(vt[None, :], ssd, jnp.inf)
+
+        tb_idx = jnp.argmin(ssd, axis=1).astype(jnp.int32)
+        tb = jnp.min(ssd, axis=1)
+        ssd_wo = jnp.where(cols[None, :] == tb_idx[:, None], jnp.inf, ssd)
+        ts = jnp.min(ssd_wo, axis=1)                    # tile second-best
+
+        # Cross-check: this tile's columns' best query rows (final).
+        cb = jnp.argmin(
+            jnp.where(valid_q[:, None], ssd, jnp.inf), axis=0
+        ).astype(jnp.int32)
+
+        new_second = jnp.minimum(
+            jnp.maximum(best, tb), jnp.minimum(second, ts)
+        )
+        take = tb < best
+        new_best = jnp.minimum(best, tb)
+        new_idx = jnp.where(take, base + tb_idx, best_idx)
+        return (new_best, new_idx, new_second), cb
+
+    init = (
+        jnp.full((kq,), jnp.inf, jnp.float32),
+        jnp.zeros((kq,), jnp.int32),
+        jnp.full((kq,), jnp.inf, jnp.float32),
+    )
+    (best_ssd, best_idx, second), col_best = lax.scan(
+        step, init, (t_tiles, v_tiles, bases)
+    )
+
+    valid = (
+        valid_q
+        & jnp.isfinite(best_ssd)
+        & (best_ssd < jnp.asarray(max_ssd_thresh, jnp.float32))
+    )
+    if ratio_thresh > 0.0:
+        r2 = jnp.asarray(ratio_thresh * ratio_thresh, jnp.float32)
+        valid = valid & (~jnp.isfinite(second) | (best_ssd < r2 * second))
+    if cross_check:
+        col_best = col_best.reshape(ktp)                # (ktp,)
+        rows = jnp.arange(kq, dtype=jnp.int32)
+        valid = valid & (col_best[best_idx] == rows)
+
+    best_ssd = jnp.where(valid, best_ssd, 0.0)
+    best_idx = jnp.where(valid, best_idx, 0)
+    return Matches(train_idx=best_idx, ssd=best_ssd, valid=valid)
+
+
 def match_keypoints(
     kps_q: KeyPoints,
     kps_t: KeyPoints,
@@ -186,6 +305,7 @@ def match_keypoints(
         opts.max_ssd_thresh,
         ratio_thresh=opts.ratio_thresh,
         cross_check=opts.cross_check,
+        block_size=opts.match_block,
     )
 
 

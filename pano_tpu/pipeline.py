@@ -689,6 +689,7 @@ def stitch_all_images_auto(
         m = match_ops.match_descriptors(
             desc_q, bq, desc_t, bt, cfg_h.max_ssd_thresh,
             ratio_thresh=cfg_h.ratio_thresh, cross_check=cfg_h.cross_check,
+            block_size=cfg_h.match_block,
         )
         pq, pt, v = match_ops.gather_match_points(kps_q, kps_t, m)
         res = ransac_ops.ransac_homography(pq, pt, v, cfg_r)

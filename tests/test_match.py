@@ -3,6 +3,7 @@ seqHarrisMatchKeyPoints (src/serial/main.cpp:188-244)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from pano_tpu.config import HarrisOptions
 from pano_tpu.ops import match
@@ -152,3 +153,76 @@ def test_gather_match_points_compacts_valid_first(rng):
     first_invalid = np.argmin(v) if not v.all() else len(v)
     assert not v[first_invalid:].any()
     assert np.asarray(pq).shape == (6, 2)
+
+
+# --- blockwise streaming matcher parity (ops/match.py streaming path) -----
+
+def _random_descs(rng, kq, kt, d=75):
+    """Synthetic uint8-valued descriptor sets with some duplicate rows so
+    tie-breaking paths are exercised."""
+    dq = rng.integers(0, 256, (kq, d)).astype(np.float32)
+    dt = rng.integers(0, 256, (kt, d)).astype(np.float32)
+    dt[7] = dq[3, :]              # a perfect match
+    dt[19] = dt[5]                # duplicate train rows -> argmin ties
+    vq = rng.random(kq) > 0.15
+    vt = rng.random(kt) > 0.15
+    # Pad descriptor dim to the MXU lane multiple like the real extractor.
+    dpad = ((d + 127) // 128) * 128
+    dq = np.pad(dq, ((0, 0), (0, dpad - d)))
+    dt = np.pad(dt, ((0, 0), (0, dpad - d)))
+    return (
+        jnp.asarray(dq), jnp.asarray(vq), jnp.asarray(dt), jnp.asarray(vt)
+    )
+
+
+@pytest.mark.parametrize("ratio,cross", [(0.0, False), (0.85, True),
+                                         (0.85, False), (0.0, True)])
+@pytest.mark.parametrize("kt", [96, 128, 200])  # incl. non-multiple of tile
+def test_streaming_matcher_bitwise_parity(rng, kt, ratio, cross):
+    """Streamed tiles must reproduce the dense matcher bit-for-bit,
+    including argmin tie-breaking, ratio-test second-best, and the
+    cross-check column argmin."""
+    dq, vq, dt, vt = _random_descs(rng, 64, kt)
+    dense = match.match_descriptors(
+        dq, vq, dt, vt, 1e18, ratio_thresh=ratio, cross_check=cross
+    )
+    streamed = match.match_descriptors(
+        dq, vq, dt, vt, 1e18, ratio_thresh=ratio, cross_check=cross,
+        block_size=32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense.valid), np.asarray(streamed.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense.train_idx), np.asarray(streamed.train_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dense.ssd), np.asarray(streamed.ssd)
+    )
+
+
+def test_streaming_matcher_threshold_parity(rng):
+    """SSD threshold applies identically on both paths."""
+    dq, vq, dt, vt = _random_descs(rng, 48, 96)
+    thresh = 2.0e6
+    dense = match.match_descriptors(dq, vq, dt, vt, thresh)
+    streamed = match.match_descriptors(dq, vq, dt, vt, thresh, block_size=16)
+    np.testing.assert_array_equal(
+        np.asarray(dense.valid), np.asarray(streamed.valid)
+    )
+
+
+def test_streaming_auto_dispatch_large_k():
+    """Above the dense limit the auto path streams (shape-level check: the
+    result layout matches and no (Kq, Kt) buffer is required — we run at
+    K=16384 which would be a 1 GB dense matrix)."""
+    k = 16384
+    r = np.random.default_rng(0)
+    d = 128
+    dq = jnp.asarray(r.integers(0, 256, (k, d)).astype(np.float32))
+    dt = jnp.asarray(r.integers(0, 256, (k, d)).astype(np.float32))
+    vq = jnp.ones((k,), bool)
+    vt = jnp.ones((k,), bool)
+    m = match.match_descriptors(dq, vq, dt, vt, 1e18)
+    assert m.train_idx.shape == (k,)
+    assert bool(np.asarray(m.valid).all())
