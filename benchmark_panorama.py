@@ -72,6 +72,175 @@ def run_once(impl, image_dir, out_file, env=None):
     return float(matches[-1])
 
 
+def _device_worker(args):
+    """Child process for one device count: times the sharded batch paths.
+
+    Separate process because the virtual device count (XLA_FLAGS) must be
+    set before JAX initializes. On a host with real multi-chip hardware the
+    forcing is skipped and the real mesh is used.
+    """
+    n = args._worker
+    import time
+
+    import numpy as np
+
+    if not args.real_mesh:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    import jax
+
+    if not args.real_mesh:
+        jax.config.update("jax_platforms", "cpu")
+    import cv2
+    import jax.numpy as jnp
+
+    from pano_tpu.config import HarrisOptions, PanoConfig, RansacOptions
+    from pano_tpu.parallel import shard
+
+    assert len(jax.devices()) >= n, (len(jax.devices()), n)
+
+    # Fixed total work (strong scaling): B identical image pairs from the
+    # dataset, estimation + batched composite sharded over n devices.
+    names = sorted(
+        f for f in os.listdir(args.dataset)
+        if f.lower().endswith((".jpg", ".png"))
+    )[:2]
+    imgs = []
+    for f in names:
+        im = cv2.imread(os.path.join(args.dataset, f))
+        im = cv2.resize(
+            im,
+            (int(im.shape[1] * args.device_scale),
+             int(im.shape[0] * args.device_scale)),
+            interpolation=cv2.INTER_AREA,
+        )
+        imgs.append(im)
+    h = min(i.shape[0] for i in imgs)
+    w = min(i.shape[1] for i in imgs)
+    imgs = [i[:h, :w] for i in imgs]
+    b = args.batch
+    lefts = jnp.asarray(np.stack([imgs[0]] * b), jnp.uint8)
+    rights = jnp.asarray(np.stack([imgs[1]] * b), jnp.uint8)
+
+    cfg = PanoConfig(
+        harris=HarrisOptions(max_keypoints=args.kpts),
+        ransac=RansacOptions(num_iterations=1024),
+    )
+    mesh = shard.make_mesh(n_data=n, n_hyp=1)
+
+    def run_est():
+        packed, _ = shard.fused_estimate_batched(lefts, rights, cfg, mesh)
+        np.asarray(packed)  # one host sync for the whole batch
+
+    def run_full():
+        shard.stitch_pairs_batched(lefts, rights, cfg, mesh)
+
+    out = {}
+    for label, fn in (("est", run_est), ("full", run_full)):
+        fn()  # warmup: pays compiles
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            fn()
+            times.append((time.perf_counter() - t0) * 1e3)
+        out[label] = min(times)
+    print(
+        f"DEVICE_SWEEP devices={n} batch={b} est_ms={out['est']:.1f} "
+        f"full_ms={out['full']:.1f}",
+        flush=True,
+    )
+
+
+def _device_sweep(args):
+    """Parent: sweep device counts, collect, write CSV + log-log plot.
+
+    The TPU analog of the reference's OMP_NUM_THREADS 1..64 strong-scaling
+    sweep (/root/reference/benchmark_panorama.py:26,38-63,85,101-137):
+    the parallelism axis is the mesh size over which the batch of pairs is
+    sharded, instead of a thread count.
+    """
+    counts = [int(c) for c in args.devices.split(",")]
+    line_re = re.compile(
+        r"DEVICE_SWEEP devices=(\d+) batch=(\d+) est_ms=([\d.]+) "
+        r"full_ms=([\d.]+)"
+    )
+    rows = []
+    for n in counts:
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--_worker", str(n),
+            "--dataset", args.dataset,
+            "--batch", str(args.batch),
+            "--kpts", str(args.kpts),
+            "--device-scale", str(args.device_scale),
+            "--repeats", str(args.repeats),
+        ] + (["--real-mesh"] if args.real_mesh else [])
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=HERE
+        )
+        m = line_re.search(proc.stdout)
+        if not m:
+            print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"device sweep worker failed for n={n}")
+        rows.append(
+            {
+                "devices": n,
+                "batch": int(m.group(2)),
+                "est_ms": float(m.group(3)),
+                "full_ms": float(m.group(4)),
+                "pairs_per_s": 1e3 * int(m.group(2)) / float(m.group(4)),
+            }
+        )
+        print(
+            f"devices={n} est={rows[-1]['est_ms']:.1f} ms "
+            f"full={rows[-1]['full_ms']:.1f} ms "
+            f"({rows[-1]['pairs_per_s']:.2f} pairs/s)",
+            flush=True,
+        )
+
+    with open(args.csv, "w", newline="") as f:
+        w = csv.DictWriter(
+            f,
+            fieldnames=["devices", "batch", "est_ms", "full_ms",
+                        "pairs_per_s"],
+        )
+        w.writeheader()
+        w.writerows(rows)
+    print(f"Wrote {args.csv}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ns = [r["devices"] for r in rows]
+        plt.figure(figsize=(7, 5))
+        for key, label in (("est_ms", "estimation (fused batch)"),
+                           ("full_ms", "full stitch (est + composite)")):
+            ys = [r[key] for r in rows]
+            plt.loglog(ns, ys, "o-", label=f"{label} measured")
+            ideal = [ys[0] * ns[0] / n for n in ns]
+            plt.loglog(ns, ideal, "--", alpha=0.6,
+                       label=f"{label} ideal 1/n")
+        plt.xlabel("devices (mesh 'data' axis)")
+        plt.ylabel(f"batch of {rows[0]['batch']} pairs: time (ms)")
+        plt.title(
+            f"Device-count strong scaling — "
+            f"{os.path.basename(args.dataset)}"
+        )
+        plt.xticks(ns, [str(n) for n in ns])
+        plt.legend(fontsize=8)
+        plt.grid(True, which="both", alpha=0.3)
+        plt.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print(f"Wrote {args.plot}")
+    except Exception as e:  # pragma: no cover
+        print(f"plotting skipped: {e}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="/root/reference/images/mountain")
@@ -81,10 +250,33 @@ def main():
         "--scales", default="0.125,0.177,0.25,0.354,0.5,0.707,1.0",
         help="resolution scales to sweep (weak-scaling axis)",
     )
+    ap.add_argument(
+        "--devices", default=None,
+        help="comma list of device counts: run the parallelism-axis strong-"
+        "scaling sweep instead (virtual CPU mesh unless --real-mesh)",
+    )
+    ap.add_argument("--real-mesh", action="store_true",
+                    help="use the real device mesh (multi-chip hardware)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="pairs per batch for the device sweep")
+    ap.add_argument("--kpts", type=int, default=1024,
+                    help="keypoint capacity for the device sweep")
+    ap.add_argument("--device-scale", type=float, default=0.125,
+                    dest="device_scale",
+                    help="image downscale for the device sweep")
+    ap.add_argument("--_worker", type=int, default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--csv", default="benchmark_results.csv")
     ap.add_argument("--plot", default="benchmark_scaling.png")
     args = ap.parse_args()
+
+    if args._worker is not None:
+        _device_worker(args)
+        return
+    if args.devices:
+        _device_sweep(args)
+        return
 
     scales = [float(s) for s in args.scales.split(",")]
     rows = []
