@@ -72,16 +72,19 @@ def main():
         return 1
     force_sync(pano)
 
-    times = []
+    # The trailing crop dispatch is INSIDE the timed window: the device
+    # executes dispatches in order, so iteration i+1's packed-vector fetch
+    # cannot return before iteration i's crop has executed, and the final
+    # force_sync covers the last crop. Timing the loop as one block (instead
+    # of per-iteration stopwatches) therefore charges every crop to the
+    # measurement without paying an extra pure-RTT tunnel sync per pair
+    # (30-85 ms each, CLAUDE.md) that would measure the tunnel, not the work.
+    t0 = time.perf_counter()
     for _ in range(repeats):
-        t0 = time.perf_counter()
         pano = stitcher.stitch_pair_fast(dev_left, dev_right)
-        # stitch_pair_fast's internal fetch of the packed result vector
-        # already proves the whole fused executable (canvas included)
-        # finished — only the ~0.2 ms crop dispatch trails, and it retires
-        # inside the next iteration's sync window.
-        times.append((time.perf_counter() - t0) * 1e3)
     force_sync(pano)
+    total = (time.perf_counter() - t0) * 1e3
+    times = [total / repeats]
 
     value = float(np.median(times))
     out = {

@@ -53,6 +53,12 @@ RV = 4                     # vertical gather rounds  (chunk spans <= 32 rows)
 VW = 384                   # pass-V column span per chunk (3 lane vregs)
 RH = 3                     # horizontal gather rounds over VW
 _BORDER = 1                # black border offset baked into padded coords
+# Quality bound on the local Jacobian (minification): the two-pass resample
+# is bit-exact vs the XLA bilinear oracle up to ~1.3x downscale and degrades
+# non-monotonically beyond (measured on v5e 2026-08-16: max diff 1 at 1.3,
+# 43+ at 1.35+). Panorama pair warps have scale ~1; out-of-bound warps fall
+# back to the exact XLA path via the envelope guards below.
+SCALE_MAX = 1.32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -120,6 +126,9 @@ def supports_homography(
         y_span = abs(j10) * TW + abs(j11) * TH
         if x_span + 130 > WIN_W or y_span + 34 > WIN_H:
             return False
+        # Resampling-quality bound (see SCALE_MAX).
+        if x_span > SCALE_MAX * TW or y_span > SCALE_MAX * TH:
+            return False
         # Chunk extents: pass-V span VW columns horizontally, 8 rows.
         if abs(j00) * TW + 130 > VW:
             return False
@@ -169,6 +178,8 @@ def envelope_ok_device(
     ok = den_ok
     ok &= x_span + 130 < WIN_W
     ok &= y_span + 34 < WIN_H
+    ok &= x_span <= SCALE_MAX * TW     # resampling-quality bound
+    ok &= y_span <= SCALE_MAX * TH
     ok &= jnp.abs(j00) * TW + 130 < VW
     ok &= jnp.abs(j00) > 1e-9
     j00_s = jnp.where(jnp.abs(j00) > 1e-9, j00, 1.0)

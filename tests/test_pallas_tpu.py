@@ -1,0 +1,179 @@
+"""On-hardware Pallas regression tests: the REAL Mosaic lowering vs XLA
+oracles (the interpret-mode tests in test_pallas_warp.py/test_pallas_harris.py
+check the algorithm; these check the lowering).
+
+Run in bench sessions: PANO_TPU_TESTS=1 python -m pytest -m tpu
+(the default suite deselects the tpu marker and pins the CPU backend).
+
+Covers: warp kernel identity/fractional/projective parity vs the XLA warp
+(src/serial/main.cpp:371-386 semantics), an envelope-EDGE homography (just
+inside the supports_homography budget — the regime where the two-pass
+window math is tightest), the fused Harris-scores kernel vs the XLA chain
+(harris_detector.cu semantics), and the single-dispatch fused stitch vs the
+staged path end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+pytestmark = pytest.mark.tpu
+
+
+@pytest.fixture(scope="module", autouse=True)
+def require_tpu():
+    if jax.default_backend() != "tpu":
+        pytest.skip("requires a real TPU (PANO_TPU_TESTS=1 pytest -m tpu)")
+
+
+@pytest.fixture(scope="module")
+def img():
+    r = np.random.default_rng(7)
+    return r.integers(0, 256, (200, 300, 3)).astype(np.uint8)
+
+
+def run_warp_kernel(img, m_inv, oh, ow, alpha_plane=None):
+    from pano_tpu.ops import pallas_warp as PW
+
+    packed = PW.pack_bgra(jnp.asarray(img), alpha_plane)
+    params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
+    rgb, w = PW.warp_packed(packed, params, oh, ow)  # REAL lowering
+    return np.asarray(PW.unpack_rgb(rgb)), np.asarray(w)
+
+
+def test_warp_identity_exact_on_tpu(img):
+    out, w = run_warp_kernel(img, np.eye(3), 128, 256)
+    np.testing.assert_array_equal(out[:128, :256], img[:128, :256])
+    assert np.all(w[:128, :256] > 0.99)
+
+
+def test_warp_fractional_translation_vs_xla_on_tpu(img):
+    from pano_tpu.ops import warp as W
+
+    m = np.eye(3)
+    m[0, 2], m[1, 2] = 17.5, 6.25
+    m_inv = np.linalg.inv(m)
+    out, _ = run_warp_kernel(img, m_inv, 256, 384)
+    ref = np.asarray(
+        W.warp_perspective_u8(
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+        )
+    )
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1  # f32 rounding at .5 boundaries
+
+
+def test_warp_projective_vs_xla_on_tpu(img):
+    from pano_tpu.ops import pallas_warp as PW
+    from pano_tpu.ops import warp as W
+
+    m = np.array(
+        [[0.97, 0.02, 12.0], [-0.015, 1.02, 4.0], [2e-5, -1e-5, 1.0]]
+    )
+    m_inv = np.linalg.inv(m)
+    assert PW.supports_homography(m_inv, 256, 384)
+    out, _ = run_warp_kernel(img, m_inv, 256, 384)
+    ref = np.asarray(
+        W.warp_perspective_u8(
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+        )
+    )
+    d = np.abs(out.astype(int) - ref.astype(int)).max(-1)
+    assert (d > 3).mean() < 0.01, (d.max(), (d > 3).mean())
+
+
+def test_warp_envelope_edge_homography_on_tpu():
+    """A homography just INSIDE the kernel's quality envelope: ~1.28x
+    downscale sits at the edge of the SCALE_MAX resampling bound (measured
+    bit-exact through 1.3x; non-monotonic degradation beyond — the bound
+    exists precisely because of that cliff). The real lowering's
+    round-select gather loops are under the most pressure here. Also checks
+    the guard REJECTS a 1.5x warp (which measured max-diff 42 on v5e)."""
+    from pano_tpu.ops import pallas_warp as PW
+    from pano_tpu.ops import warp as W
+
+    r = np.random.default_rng(11)
+    big = r.integers(0, 256, (800, 1100, 3)).astype(np.uint8)
+    m_inv = np.array(
+        [[1.28, 0.02, 5.0], [0.01, 1.28, 3.0], [0.0, 0.0, 1.0]]
+    )
+    assert PW.supports_homography(m_inv, 256, 384), "meant to be in-envelope"
+    out, _ = run_warp_kernel(big, m_inv, 256, 384)
+    ref = np.asarray(
+        W.warp_perspective_u8(
+            jnp.asarray(big), jnp.asarray(m_inv, jnp.float32), 256, 384
+        )
+    )
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 1, d.max()  # f32 rounding only, even at the edge
+
+    # Beyond the quality bound the guard must route to the exact XLA path.
+    m_bad = np.array([[1.5, 0.02, 5.0], [0.01, 1.5, 3.0], [0.0, 0.0, 1.0]])
+    assert not PW.supports_homography(m_bad, 256, 384)
+
+
+def test_harris_scores_kernel_vs_xla_on_tpu():
+    from pano_tpu.config import HarrisOptions
+    from pano_tpu.ops import harris as H
+    from pano_tpu.ops import pallas_harris as PH
+
+    r = np.random.default_rng(3)
+    img = r.integers(0, 256, (300, 512, 3)).astype(np.uint8)
+    opts = HarrisOptions()
+    h, w = img.shape[:2]
+    gray = H.bgr_to_gray_f32(jnp.asarray(img))
+
+    got = np.asarray(
+        PH.harris_scores(gray, h, w, opts.k, opts.nms_thresh)
+    )[:h, :w]
+
+    resp = H.harris_response(gray, opts.k)
+    nmax = H._neighbor_max(resp, 3)
+    ys = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (ys >= 1) & (ys < h - 1) & (xs >= 1) & (xs < w - 1)
+    want = np.asarray(
+        jnp.where(
+            (resp > opts.nms_thresh) & (resp > nmax) & border, resp, -jnp.inf
+        )
+    )
+    same_peaks = np.isneginf(got) == np.isneginf(want)
+    assert same_peaks.mean() > 0.9995, same_peaks.mean()
+    both = ~np.isneginf(got) & ~np.isneginf(want)
+    if both.any():
+        np.testing.assert_allclose(got[both], want[both], rtol=2e-4, atol=10.0)
+
+
+def test_fused_stitch_matches_staged_on_tpu():
+    """stitch_pair_fast (single-dispatch, Pallas warp inside) must agree
+    with the staged path (XLA warp fallback geometry) end-to-end."""
+    from pano_tpu import pipeline
+    from pano_tpu.config import HarrisOptions, PanoConfig, RansacOptions
+
+    r = np.random.default_rng(5)
+    base = np.full((256, 640, 3), 30, np.uint8)
+    for _ in range(150):
+        y, x = r.integers(5, 244), r.integers(5, 624)
+        base[y : y + 8, x : x + 8] = r.integers(60, 255, 3)
+    left = jnp.asarray(base[:, :384], jnp.uint8)
+    right = jnp.asarray(base[:, 256:], jnp.uint8)
+
+    cfg = PanoConfig(
+        harris=HarrisOptions(max_keypoints=2048),
+        ransac=RansacOptions(num_iterations=1024),
+    )
+    fast = pipeline.PairStitcher(cfg, print_timing=False)
+    pano_fast = fast.stitch_pair_fast(left, right)
+    assert pano_fast is not None
+    pano_staged = fast.stitch_pair(left, right)
+    assert pano_staged is not None
+
+    a, b = np.asarray(pano_fast), np.asarray(pano_staged)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    # Same H (deterministic RANSAC) -> same geometry; warp kernels may
+    # differ by the two-pass sub-pixel approximation on a small fraction.
+    d = np.abs(a.astype(int) - b.astype(int)).max(-1)
+    assert (d > 3).mean() < 0.01, (d.max(), (d > 3).mean())
