@@ -101,3 +101,60 @@ def test_compute_metrics_detects_misalignment(rng):
     ).astype(np.uint8)
     m = peval.compute_metrics(img, noisy)
     assert m["SSIM"] < 0.9
+
+
+# --- SSIM cross-validation against an independent brute-force oracle ------
+# The environment has no skimage (the reference's SSIM source,
+# evaluate_panorama.py:47), so pano_tpu.eval re-implements Wang et al. 2004
+# with skimage's defaults. This test validates the optimized cumsum-filter
+# implementation against a direct nested-loop computation of the same
+# definition (7x7 uniform window, unbiased covariance, K1/K2 defaults).
+
+def _ssim_map_bruteforce(a, b, win=7, data_range=255.0):
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    n = win * win
+    cov_norm = n / (n - 1)
+    pad = win // 2
+    ap = np.pad(a, pad, mode="reflect")
+    bp = np.pad(b, pad, mode="reflect")
+    h, w = a.shape
+    out = np.zeros((h, w))
+    for i in range(h):
+        for j in range(w):
+            wa = ap[i : i + win, j : j + win]
+            wb = bp[i : i + win, j : j + win]
+            ux, uy = wa.mean(), wb.mean()
+            vx = cov_norm * (np.mean(wa * wa) - ux * ux)
+            vy = cov_norm * (np.mean(wb * wb) - uy * uy)
+            vxy = cov_norm * (np.mean(wa * wb) - ux * uy)
+            out[i, j] = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+                (ux * ux + uy * uy + c1) * (vx + vy + c2)
+            )
+    return out
+
+
+def test_ssim_map_matches_bruteforce_oracle(rng):
+    a = rng.integers(0, 256, (40, 48)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 12, a.shape), 0, 255)
+    fast = peval.ssim_map(a, b)
+    slow = _ssim_map_bruteforce(a, b)
+    # Interior (the valid region masked_ssim actually uses).
+    np.testing.assert_allclose(fast[3:-3, 3:-3], slow[3:-3, 3:-3],
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_masked_ssim_matches_bruteforce_mean(rng):
+    a = rng.integers(0, 256, (32, 32)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 20, a.shape), 0, 255)
+    mask = np.zeros((32, 32), bool)
+    mask[8:28, 5:30] = True
+    got = peval.masked_ssim(a, b, mask)
+    smap = _ssim_map_bruteforce(a, b)
+    m = mask.copy()
+    m[:3] = m[-3:] = False
+    m[:, :3] = m[:, -3:] = False
+    np.testing.assert_allclose(got, smap[m].mean(), rtol=1e-10)
