@@ -48,7 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tile / window geometry (all compile-time constants).
 TH, TW = 128, 128          # output tile
-WIN_H, WIN_W = 256, 512    # VMEM source window per tile (int32: 512 KB)
+WIN_H, WIN_W = 208, 384    # VMEM source window per tile (int32: 312 KB;
+#                            sized for SCALE_MAX below — y: 8 align + 1.32*TH
+#                            + margins <= 208, x: 128 align + 1.32*TW + 130
+#                            <= 384)
 RV = 4                     # vertical gather rounds  (chunk spans <= 32 rows)
 VW = 384                   # pass-V column span per chunk (3 lane vregs)
 RH = 3                     # horizontal gather rounds over VW

@@ -184,7 +184,7 @@ def test_fused_stitch_matches_staged():
         stitcher.stitch_pair(jnp.asarray(left), jnp.asarray(right))
     )
     with pltpu.force_tpu_interpret_mode():
-        packed_out, canvas, _ = stitcher._fused_stitch(
+        packed_out, canvas, _ = stitcher._fused_stitch(0)(
             jnp.asarray(left), jnp.asarray(right)
         )
     v = np.asarray(packed_out)
@@ -214,7 +214,7 @@ def test_fused_stitch_flags_envelope_violation():
 
     stitcher = PairStitcher(SMALL, print_timing=False)
     with pltpu.force_tpu_interpret_mode():
-        packed_out, _, _ = stitcher._fused_stitch(
+        packed_out, _, _ = stitcher._fused_stitch(0)(
             jnp.asarray(left), jnp.asarray(right_rot)
         )
     v = np.asarray(packed_out)
