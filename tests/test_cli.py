@@ -1,0 +1,122 @@
+"""CLI tests: dispatch, exit codes, flag parsing, --parity preset, --json.
+
+Reference semantics covered: unknown impl / <2 images exit(-1) with the
+reference's messages (src/serial/main.cpp:417-452, src/reader/reader.cpp),
+the full hyperparameter flag surface, and the machine-readable stats file.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from pano_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    """Two small overlapping textured images on disk."""
+    d = tmp_path_factory.mktemp("cli_imgs")
+    r = np.random.default_rng(0)
+    base = np.full((96, 192, 3), 30, np.uint8)
+    for _ in range(120):
+        y, x = r.integers(4, 88), r.integers(4, 184)
+        base[y : y + 6, x : x + 6] = r.integers(60, 255, 3)
+    cv2.imwrite(str(d / "a1.png"), base[:, :128])
+    cv2.imwrite(str(d / "a2.png"), base[:, 64:])
+    return str(d)
+
+
+def test_unknown_impl_exits_minus_one(capsys):
+    assert cli.run("vulkan", []) == -1
+    assert "Unknown implementation" in capsys.readouterr().err
+
+
+def test_fewer_than_two_images_exits_minus_one(scene_dir, capsys):
+    rc = cli.run("serial", [os.path.join(scene_dir, "a1.png")])
+    assert rc == -1
+    assert "At least two images" in capsys.readouterr().err
+
+
+def test_flag_requires_value():
+    with pytest.raises(SystemExit):
+        cli.run("serial", ["--mode"])
+
+
+def test_bad_enum_value_rejected():
+    with pytest.raises(SystemExit):
+        cli.run("serial", ["--mode", "spiral", "x.jpg", "y.jpg"])
+    with pytest.raises(SystemExit):
+        cli.run("serial", ["--blend", "gradient", "x.jpg", "y.jpg"])
+    with pytest.raises(SystemExit):
+        cli.run("serial", ["--topk", "sorta", "x.jpg", "y.jpg"])
+
+
+def test_end_to_end_serial_with_full_flag_surface(scene_dir, tmp_path):
+    """A real run exercising the whole hyperparameter surface + --json."""
+    out = str(tmp_path / "pano.jpg")
+    stats = str(tmp_path / "stats.json")
+    rc = cli.run(
+        "serial",
+        [
+            "--dir", scene_dir, "--out", out,
+            "--mode", "chain", "--blend", "feather",
+            "--k", "0.05", "--nms-thresh", "5e5", "--nms-size", "3",
+            "--patch", "5", "--ssd-thresh", "1e9", "--kpts", "256",
+            "--ratio", "0.9", "--cross-check", "on", "--topk", "exact",
+            "--match-block", "64",
+            "--iters", "128", "--dist", "2.0", "--seed", "3",
+            "--refine", "on", "--min-inliers", "8",
+            "--json", stats,
+        ],
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+    s = json.load(open(stats))
+    assert s["ok"] and s["impl"] == "serial" and s["mode"] == "chain"
+    h, r = s["config"]["harris"], s["config"]["ransac"]
+    assert h["k"] == 0.05 and h["max_keypoints"] == 256
+    assert h["ratio_thresh"] == 0.9 and h["topk_method"] == "exact"
+    assert h["match_block"] == 64 and h["cross_check"] is True
+    assert r["num_iterations"] == 128 and r["seed"] == 3
+    assert r["distance_threshold"] == 2.0 and r["min_inliers"] == 8
+    assert s["config"]["stitch"]["blend"] == "feather"
+    assert any("Total" in rec["stage"] for rec in s["stages"])
+    pano = cv2.imread(out)
+    assert pano is not None and pano.shape[1] >= 180
+
+
+def test_parity_preset_sets_reference_semantics(scene_dir, tmp_path):
+    out = str(tmp_path / "pano.jpg")
+    stats = str(tmp_path / "stats.json")
+    rc = cli.run(
+        "serial",
+        ["--dir", scene_dir, "--out", out, "--parity", "--kpts", "256",
+         "--iters", "128", "--json", stats],
+    )
+    assert rc == 0
+    s = json.load(open(stats))
+    h = s["config"]["harris"]
+    assert h["ratio_thresh"] == 0.0          # raw argmin matching
+    assert h["cross_check"] is False
+    assert h["topk_method"] == "exact"
+    assert s["config"]["stitch"]["blend"] == "overlay"
+    assert s["mode"] == "fold"
+    # Explicit flags still override within the preset.
+    assert h["max_keypoints"] == 256
+
+
+def test_opencv_impl_three_timed_phases(scene_dir, tmp_path, capsys):
+    out = str(tmp_path / "pano_cv.jpg")
+    rc = cli.run("opencv", ["--dir", scene_dir, "--out", out])
+    stdout = capsys.readouterr().out
+    # The reference's phase labels (src/opencv/main.cpp:40-88), regardless
+    # of whether the tiny synthetic scene stitches successfully.
+    assert "Reading input images:" in stdout
+    assert "Number of images loaded: 2" in stdout
+    assert "Stitching process:" in stdout
+    if rc == 0:
+        assert "Saving panorama:" in stdout
