@@ -448,6 +448,122 @@ def stitch_all_images_chain_sharded(
     return result
 
 
+def stitch_all_images_auto_sharded(
+    images: List[np.ndarray],
+    config: PanoConfig = DEFAULT_CONFIG,
+    timing_tag: str = "Sharded",
+    mesh: Optional[Mesh] = None,
+    print_timing: bool = True,
+) -> Optional[np.ndarray]:
+    """Unordered stitching with the all-pairs estimation sharded: features
+    are detected once per image, then ALL n(n-1)/2 pair estimates run as one
+    vmapped dispatch with the pair axis sharded over the 'data' mesh axis —
+    one host fetch for the whole match graph. The maximum-spanning-tree
+    ordering and global compositing reuse the pipeline implementations.
+
+    Heterogeneous image shapes can't batch; those fall back to the
+    single-device auto mode (whose per-pair dispatches are still pipelined).
+    """
+    from pano_tpu import pipeline
+    from pano_tpu.ops import warp as warp_ops  # noqa: F401 (parity cite)
+
+    t = Timer()
+    n = len(images)
+    if n == 0:
+        return None
+    if n < 3 or len({im.shape for im in images}) != 1:
+        return pipeline.stitch_all_images_auto(
+            images, config, print_timing=print_timing, timing_tag=timing_tag
+        )
+    if mesh is None:
+        mesh = make_mesh(n_hyp=1)
+    n_data = mesh.shape["data"]
+    cfg_h, cfg_r = config.harris, config.ransac
+
+    devs = [jnp.asarray(im, jnp.uint8) for im in images]
+
+    # Detect + describe once per image (pallas kernels stay usable — per-
+    # image dispatches, pipelined by the async queue).
+    @jax.jit
+    def det(img):
+        kps = harris_ops.harris_detect(img, cfg_h)
+        desc, bv = match_ops.extract_patch_descriptors(
+            img, kps, cfg_h.patch_size
+        )
+        return kps.xy, desc, bv
+
+    feats = [det(d) for d in devs]
+    xy = jnp.stack([f[0] for f in feats])          # (n, K, 2)
+    desc = jnp.stack([f[1] for f in feats])        # (n, K, D)
+    bv = jnp.stack([f[2] for f in feats])          # (n, K)
+
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    p = len(pairs)
+    pad = (-p) % n_data
+    idx_i = jnp.asarray([a for a, _ in pairs] + [0] * pad, jnp.int32)
+    idx_j = jnp.asarray([b for _, b in pairs] + [0] * pad, jnp.int32)
+
+    def one_pair(i, j):
+        # H maps j -> i (query = j, train = i), as in the local auto mode.
+        kq = harris_ops.KeyPoints(
+            xy=xy[j], response=jnp.zeros(xy.shape[1]), valid=bv[j]
+        )
+        kt = harris_ops.KeyPoints(
+            xy=xy[i], response=jnp.zeros(xy.shape[1]), valid=bv[i]
+        )
+        m = match_ops.match_descriptors(
+            desc[j], bv[j], desc[i], bv[i], cfg_h.max_ssd_thresh,
+            ratio_thresh=cfg_h.ratio_thresh, cross_check=cfg_h.cross_check,
+            block_size=cfg_h.match_block,
+        )
+        pq, pt, v = match_ops.gather_match_points(kq, kt, m)
+        res = ransac_ops.ransac_homography(pq, pt, v, cfg_r)
+        return (
+            res.H.reshape(-1).astype(jnp.float32),
+            res.inlier_count.astype(jnp.int32),
+            res.ok,
+        )
+
+    fn = jax.vmap(one_pair)
+    if n_data > 1:
+        spec = NamedSharding(mesh, P("data"))
+        idx_i = jax.device_put(idx_i, spec)
+        idx_j = jax.device_put(idx_j, spec)
+        fn = jax.jit(fn, in_shardings=(spec, spec))
+    else:
+        fn = jax.jit(fn)
+    h_flat, cnt, ok = fn(idx_i, idx_j)
+    h_flat = np.asarray(h_flat)                    # one fetch for the graph
+    cnt = np.asarray(cnt)
+    ok = np.asarray(ok)
+
+    counts = np.zeros((n, n), np.int64)
+    h_edge: dict = {}
+    for k, (i, j) in enumerate(pairs):
+        if not ok[k]:
+            continue
+        counts[i, j] = counts[j, i] = int(cnt[k])
+        h_edge[(i, j)] = h_flat[k].astype(np.float64).reshape(3, 3)
+
+    if counts.sum() == 0:
+        print("No connected image pairs!", file=sys.stderr)
+        return None
+
+    globals_h, root = pipeline.max_spanning_tree_globals(counts, h_edge, n)
+    n_placed = sum(1 for g in globals_h if g is not None)
+    print(
+        f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
+        flush=True,
+    )
+    result = pipeline.composite_global(
+        [np.asarray(im) for im in images], devs, globals_h, config,
+        anchor=root,
+    )
+    if print_timing:
+        print_stage(f"Total Stitching Process ({timing_tag})", t.elapsed())
+    return result
+
+
 def stitch_all_images_sharded(
     images: List[np.ndarray],
     config: PanoConfig = DEFAULT_CONFIG,
@@ -466,9 +582,8 @@ def stitch_all_images_sharded(
     src/serial/main.cpp:395-414); within each pair, the hypothesis search
     runs across the mesh.
 
-    mode='auto': unordered all-pairs ordering on the default device
-    (pipeline.stitch_all_images_auto; the all-pairs estimates are
-    dispatch-pipelined but not yet mesh-sharded).
+    mode='auto': unordered all-pairs ordering with the n(n-1)/2 pair
+    estimates sharded over 'data' (stitch_all_images_auto_sharded).
     """
     from pano_tpu.pipeline import PairStitcher, stitch_all_images
 
@@ -477,8 +592,8 @@ def stitch_all_images_sharded(
             images, config, timing_tag=timing_tag, mesh=mesh
         )
     if mode == "auto":
-        return stitch_all_images(
-            images, config, timing_tag=timing_tag, mode="auto"
+        return stitch_all_images_auto_sharded(
+            images, config, timing_tag=timing_tag, mesh=mesh
         )
 
     n_dev = len(jax.devices())

@@ -742,7 +742,26 @@ def stitch_all_images_auto(
         print("No connected image pairs!", file=sys.stderr)
         return None
 
-    # Maximum spanning tree (Prim) rooted at the best-connected image.
+    globals_h, root = max_spanning_tree_globals(counts, h_edge, n)
+    n_placed = sum(1 for g in globals_h if g is not None)
+    print(
+        f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
+        flush=True,
+    )
+    result = composite_global(images, devs, globals_h, config, anchor=root)
+    if print_timing:
+        print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
+    return result
+
+
+def max_spanning_tree_globals(
+    counts: np.ndarray, h_edge: dict, n: int
+) -> Tuple[List[Optional[np.ndarray]], int]:
+    """Maximum spanning tree (Prim) over the inlier-count graph, rooted at
+    the best-connected image; composes edge homographies into the root's
+    frame. `h_edge[(i, j)]` (i < j) maps image j -> image i. Returns
+    (globals_h, root) with None for disconnected images. Shared by the
+    local and sharded auto modes."""
     root = int(np.argmax(counts.sum(axis=1)))
     in_tree = {root}
     globals_h: List[Optional[np.ndarray]] = [None] * n
@@ -764,16 +783,7 @@ def stitch_all_images_auto(
             h_child_to_parent = h if v > u else np.linalg.inv(h)
             globals_h[v] = globals_h[u] @ h_child_to_parent
         in_tree.add(v)
-
-    n_placed = sum(1 for g in globals_h if g is not None)
-    print(
-        f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
-        flush=True,
-    )
-    result = composite_global(images, devs, globals_h, config, anchor=root)
-    if print_timing:
-        print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
-    return result
+    return globals_h, root
 
 
 def composite_global(

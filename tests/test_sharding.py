@@ -201,6 +201,47 @@ def test_stitch_all_images_chain_sharded():
     assert pano.shape[0] >= 90
 
 
+def test_stitch_all_images_auto_sharded_unordered():
+    """Sharded auto mode: all-pairs estimates in one sharded dispatch must
+    recover the mosaic from SHUFFLED input order."""
+    base = checkerboard_texture(96, 320, seed=11)
+    imgs = [
+        base[:, 128:256].copy(),   # middle-right first
+        base[:, 0:128].copy(),     # leftmost
+        base[:, 192:320].copy(),   # rightmost
+        base[:, 64:192].copy(),    # middle-left
+    ]
+    mesh = shard.make_mesh(n_data=2, n_hyp=1)
+    pano = shard.stitch_all_images_auto_sharded(
+        imgs, SMALL, timing_tag="Sharded", mesh=mesh
+    )
+    assert pano is not None
+    assert pano.shape[1] >= 310
+    # Content check: the mosaic interior must match the base texture.
+    ref = pano[:90, :310].astype(int)
+    d = np.abs(ref - base[:90, :310].astype(int)).max(-1)
+    assert (d > 30).mean() < 0.08, (d > 30).mean()
+
+
+def test_stitch_all_images_auto_sharded_matches_local():
+    """Sharded and local auto modes must place the same images (same MST)."""
+    from pano_tpu import pipeline
+
+    base = checkerboard_texture(96, 256, seed=13)
+    imgs = [
+        base[:, 128:256].copy(),
+        base[:, 0:128].copy(),
+        base[:, 64:192].copy(),
+    ]
+    mesh = shard.make_mesh(n_data=1, n_hyp=1)
+    p_sh = shard.stitch_all_images_auto_sharded(imgs, SMALL, mesh=mesh)
+    p_lo = pipeline.stitch_all_images_auto(imgs, SMALL, print_timing=False)
+    assert p_sh is not None and p_lo is not None
+    assert p_sh.shape == p_lo.shape
+    d = np.abs(p_sh.astype(int) - p_lo.astype(int)).max()
+    assert d <= 1, d  # identical graphs up to f32 scheduling
+
+
 def test_stitch_all_images_sharded_mode_dispatch():
     base = checkerboard_texture(96, 224, seed=9)
     imgs = [base[:, :128].copy(), base[:, 96:224].copy()]
