@@ -5,10 +5,12 @@ Prints ONE JSON line:
   {"metric": "mountain_4k_stitch_ms", "value": <ms>, "unit": "ms",
    "vs_baseline": <speedup>}
 
-`value` is the median steady-state wall-clock of the full stitchTwoImages-
-equivalent (Harris x2 -> match -> RANSAC -> fused warp+blend, device-resident,
-including the host canvas math and H round-trip) on images/mountain
-(4156x3117), after one warmup iteration that pays XLA compilation.
+`value` is the steady-state per-pair wall-clock (mean over one timed block
+of PANO_BENCH_REPEATS iterations; in-order device execution charges every
+trailing crop dispatch to the block) of the full stitchTwoImages-equivalent
+(Harris x2 -> match -> RANSAC -> fused warp+blend, device-resident, including
+the host canvas math and H round-trip) on images/mountain (4156x3117), after
+one warmup iteration that pays XLA compilation.
 
 `vs_baseline` is measured-reference-time / our-time. The reference publishes
 no numbers (BASELINE.md); the baseline here is the reference's own OpenMP
@@ -22,8 +24,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import numpy as np
 
 # Reference openmp_stitching "Image Stitching (OpenMP)" on this host
 # (single-CPU-core machine, so OpenMP == serial here); see BASELINE.md.
@@ -84,9 +84,8 @@ def main():
         pano = stitcher.stitch_pair_fast(dev_left, dev_right)
     force_sync(pano)
     total = (time.perf_counter() - t0) * 1e3
-    times = [total / repeats]
+    value = total / repeats
 
-    value = float(np.median(times))
     out = {
         "metric": "mountain_4k_stitch_ms",
         "value": round(value, 3),

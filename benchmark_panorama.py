@@ -121,7 +121,9 @@ def _device_worker(args):
     h = min(i.shape[0] for i in imgs)
     w = min(i.shape[1] for i in imgs)
     imgs = [i[:h, :w] for i in imgs]
-    b = args.batch
+    # Pad the batch up to a multiple of the mesh's data axis (the sharded
+    # batch paths require divisibility).
+    b = ((args.batch + n - 1) // n) * n
     lefts = jnp.asarray(np.stack([imgs[0]] * b), jnp.uint8)
     rights = jnp.asarray(np.stack([imgs[1]] * b), jnp.uint8)
 

@@ -61,6 +61,12 @@ process_common_args() {
         case $1 in
             --build-dir=*)
                 BUILD_DIR="${1#*=}"
+                # cmake below runs inside native/, so anchor relative paths
+                # there for build AND run alike.
+                case $BUILD_DIR in
+                    /*) ;;
+                    *) BUILD_DIR="$SCRIPT_DIR/native/$BUILD_DIR" ;;
+                esac
                 ;;
             --no-gpu)
                 NO_GPU=true

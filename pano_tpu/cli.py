@@ -332,12 +332,18 @@ def run(
                 stitch_all_images_sharded(
                     reader.images, config, timing_tag=tag, mode=mode
                 )
+                reset_stage_records()  # keep warmup out of --json stages
             with _maybe_profile():
                 panorama = stitch_all_images_sharded(
                     reader.images, config, timing_tag=tag, mode=mode
                 )
             if panorama is None:
                 print("Panoramic stitching failed!", file=sys.stderr)
+                if json_out:
+                    _write_json_stats(
+                        json_out, impl, mode, config, reader.output_file,
+                        None,
+                    )
                 return -1
             imwrite_bgr(reader.output_file, panorama)
             print(f"Stitched result saved to {reader.output_file}", flush=True)
@@ -352,11 +358,13 @@ def run(
         if warmup:
             # Same code path as the timed run (the staged/timed graphs
             # differ from the fused ones); benchmark parsers take the LAST
-            # timing line, so the warmup's lines are harmless.
+            # timing line, so the warmup's lines are harmless — but keep
+            # them out of the --json stages list.
             stitch_all_images(
                 reader.images, config, timing_tag=tag, device=device,
                 mode=mode,
             )
+            reset_stage_records()
         with _maybe_profile():
             panorama = stitch_all_images(
                 reader.images, config, timing_tag=tag, device=device,

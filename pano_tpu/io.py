@@ -60,7 +60,7 @@ def _load_native():
                 lib = ctypes.CDLL(cand)
                 lib.ph_version.restype = ctypes.c_int
                 if lib.ph_version() != 2:
-                    return None
+                    continue  # stale ABI: try the next candidate
                 lib.ph_imread_dims.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_int),

@@ -298,7 +298,8 @@ def composite_pairs_batched(
         canvases = np.asarray(fn(gl, gr, gm, gtx, gty, gwx, gwy))
         for row, b in enumerate(idxs):
             ch, cw = geo[b][5], geo[b][6]
-            out[b] = canvases[row, :ch, :cw]
+            # copy(): a view would pin the whole group buffer in memory.
+            out[b] = canvases[row, :ch, :cw].copy()
     return out
 
 
@@ -412,27 +413,23 @@ def stitch_all_images_chain_sharded(
     for i in range(1, n):
         if print_timing:
             print(f"Stitching image {i + 1} of {n}...", flush=True)
-        row = v[i - 1]
-        h: Optional[np.ndarray] = row[:9].reshape(3, 3).astype(np.float64)
-        ok = row[11] > 0.5
         if last_good != i - 1:
             # Previous pair failed: re-anchor against the last chained image
             # (the fold's skip semantics, src/serial/main.cpp:404-407).
             h = stitcher.estimate_homography(devs[last_good], devs[i])
-        elif int(row[12]) == 0:
-            print("Not enough matched corners for stitching!", file=sys.stderr)
-            h = None
-        elif not ok:
-            # Low-inlier gate: fetch this pair's match points (rare path) for
-            # the OpenCV RANSAC fallback (src/gpu/ransac.cu:499-511).
-            pq = np.asarray(pts[0][i - 1])
-            pt_ = np.asarray(pts[1][i - 1])
-            vv = np.asarray(pts[2][i - 1])
-            h_cv = stitcher._opencv_fallback_h(pq, pt_, vv)
-            if h_cv is not None:
-                h = h_cv
-            elif int(row[9]) <= 0:
-                h = None
+        else:
+            # Shared fused-protocol decode (match-count bail, low-inlier
+            # OpenCV fallback with lazily-fetched match points, best-effort
+            # H) — pipeline.PairStitcher.interpret_fused_row.
+            k = i - 1
+            h = stitcher.interpret_fused_row(
+                v[k],
+                lambda k=k: (
+                    np.asarray(pts[0][k]),
+                    np.asarray(pts[1][k]),
+                    np.asarray(pts[2][k]),
+                ),
+            )
         if h is None:
             print(f"Failed to stitch image {i}!", file=sys.stderr)
             globals_h.append(None)

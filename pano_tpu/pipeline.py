@@ -199,11 +199,15 @@ class PairStitcher:
     # fails, and only then falls back to the exact staged path.
     _WIN_TIERS = ((1.02, 32), (1.1, 300))
 
-    @functools.lru_cache(maxsize=None)
     def _fused_stitch(self, tier: int = 0):
-        return jax.jit(
-            functools.partial(self._fused_stitch_impl, _tier=tier)
-        )
+        # Per-instance cache (an lru_cache on the bound method would pin
+        # every PairStitcher + its compiled executables forever).
+        cache = self.__dict__.setdefault("_fused_stitch_cache", {})
+        if tier not in cache:
+            cache[tier] = jax.jit(
+                functools.partial(self._fused_stitch_impl, _tier=tier)
+            )
+        return cache[tier]
 
     def _fused_stitch_impl(self, left, right, _tier: int = 0):
         """The WHOLE pair stitch as one XLA dispatch.
@@ -422,19 +426,31 @@ class PairStitcher:
         """Fetch + interpret an async _fused_estimate result (see chain mode,
         which dispatches many estimates before fetching any)."""
         packed = np.asarray(packed_dev)      # the single host sync per pair
-        h = packed[:9].reshape(3, 3).astype(np.float64)
-        inlier_count = int(packed[9])
-        ok = packed[11] > 0.5
-        match_count = int(packed[12])
+        return self.interpret_fused_row(
+            packed, lambda: tuple(np.asarray(a) for a in pts)
+        )
+
+    def interpret_fused_row(
+        self, row: np.ndarray, fetch_pts
+    ) -> Optional[np.ndarray]:
+        """Decode one fused-protocol packed row into a homography (or None),
+        applying the reference's fallback ladder: no matches -> bail
+        (src/serial/main.cpp:321-324); low-inlier gate -> OpenCV RANSAC on
+        the match points (src/gpu/ransac.cu:499-511, fetched lazily via
+        `fetch_pts()`); else best-effort H if any inliers. Shared by the
+        local chain mode and the sharded batch paths so the ladders cannot
+        drift."""
+        h = row[:9].reshape(3, 3).astype(np.float64)
+        inlier_count = int(row[9])
+        ok = row[11] > 0.5
+        match_count = int(row[12])
 
         if match_count == 0:
             print("Not enough matched corners for stitching!", file=sys.stderr)
             return None
         if ok:
             return h
-        # Low-inlier gate: fetch match points (rare path) for the OpenCV
-        # RANSAC fallback (src/gpu/ransac.cu:499-511).
-        pq, pt, valid = (np.asarray(a) for a in pts)
+        pq, pt, valid = fetch_pts()
         h_cv = self._opencv_fallback_h(pq, pt, valid)
         if h_cv is not None:
             return h_cv
