@@ -242,6 +242,20 @@ def test_stitch_all_images_auto_sharded_matches_local():
     assert d <= 1, d  # identical graphs up to f32 scheduling
 
 
+def test_stitch_all_images_chain_sharded_skips_failed_image():
+    """A featureless middle image must be skipped with the fold's re-anchor
+    semantics (src/serial/main.cpp:404-407), same as the local chain."""
+    base = checkerboard_texture(96, 224, seed=15)
+    flat = np.zeros((96, 128, 3), np.uint8)
+    imgs = [base[:, 0:128].copy(), flat, base[:, 96:224].copy()]
+    mesh = shard.make_mesh(n_data=2, n_hyp=1)
+    pano = shard.stitch_all_images_chain_sharded(
+        imgs, SMALL, timing_tag="Sharded", mesh=mesh
+    )
+    assert pano is not None
+    assert pano.shape[1] >= 210  # image 3 re-anchored against image 1
+
+
 def test_stitch_all_images_sharded_mode_dispatch():
     base = checkerboard_texture(96, 224, seed=9)
     imgs = [base[:, :128].copy(), base[:, 96:224].copy()]
