@@ -209,6 +209,7 @@ def run(
     mode = take_flag("--mode", ("fold", "chain", "auto"))
     blend = take_flag("--blend", ("overlay", "feather", "multiband"))
     json_out = take_flag("--json")
+    gain = take_flag("--gain", tuple(_ONOFF))
 
     harris_over = {}
     for flag, field, conv in (
@@ -256,7 +257,13 @@ def run(
         mode = mode or "fold"
     mode = mode or "fold"
 
-    if harris_over or ransac_over or blend:
+    stitch_over = {}
+    if blend:
+        stitch_over["blend"] = blend
+    if gain is not None:
+        stitch_over["gain_compensation"] = _ONOFF[gain]
+
+    if harris_over or ransac_over or stitch_over:
         import dataclasses
 
         if harris_over:
@@ -267,9 +274,9 @@ def run(
             config = config.replace(
                 ransac=dataclasses.replace(config.ransac, **ransac_over)
             )
-        if blend:
+        if stitch_over:
             config = config.replace(
-                stitch=dataclasses.replace(config.stitch, blend=blend)
+                stitch=dataclasses.replace(config.stitch, **stitch_over)
             )
 
     # The OpenCV baseline times three phases — reading, stitching, saving —

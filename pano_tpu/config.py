@@ -108,6 +108,11 @@ class StitchOptions:
     use_pallas_warp: bool = True   # fast Pallas 2-pass warp kernel on TPU;
     #                                auto-falls back to the exact XLA warp on
     #                                CPU or for out-of-envelope homographies
+    gain_compensation: bool = False  # per-image scalar exposure gain from
+    #                                the overlap (cv::Stitcher-class feature,
+    #                                ops/warp.py::_estimate_gain; the
+    #                                reference pipeline has none). In-graph,
+    #                                costs no extra host syncs.
 
 
 @dataclasses.dataclass(frozen=True)

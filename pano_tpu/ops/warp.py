@@ -197,9 +197,28 @@ def _edge_ramp(h: int, w: int) -> jnp.ndarray:
     return d / jnp.asarray(min(h, w) / 2.0, jnp.float32)
 
 
+def _estimate_gain(
+    left_win_f: jnp.ndarray,    # (h, w, 3) f32 canvas pixels
+    right_f: jnp.ndarray,       # (h, w, 3) f32 warped incoming pixels
+    overlap: jnp.ndarray,       # (h, w) bool — both sides covered
+) -> jnp.ndarray:
+    """Scalar exposure gain mapping the incoming image onto the canvas's
+    brightness over their overlap — the single-pair analog of
+    cv::detail::GainCompensator (inside the reference's cv::Stitcher
+    baseline, src/opencv/main.cpp:59-70; the reference's own pipeline has no
+    compensation). Returns 1.0 when the overlap is too small to trust."""
+    m = overlap.astype(jnp.float32)
+    num = jnp.sum(jnp.sum(left_win_f, axis=-1) * m)
+    den = jnp.sum(jnp.sum(right_f, axis=-1) * m)
+    cnt = jnp.sum(m)
+    ok = (cnt > 256.0) & (den > 1e3)
+    g = jnp.where(ok, num / jnp.maximum(den, 1e-6), 1.0)
+    return jnp.clip(g, 0.6, 1.6)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("out_h", "out_w", "win_h", "win_w", "blend"),
+    static_argnames=("out_h", "out_w", "win_h", "win_w", "blend", "gain"),
 )
 def blend_window_outputs(
     left: jnp.ndarray,          # (Hl, Wl, 3) uint8
@@ -215,6 +234,7 @@ def blend_window_outputs(
     win_w: int,
     blend: str = "overlay",
     w_left_win: Optional[jnp.ndarray] = None,
+    gain: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite a Pallas-warped window (ops.pallas_warp outputs) with the
     translated left image — the XLA epilogue of the fast warp path.
@@ -264,6 +284,19 @@ def blend_window_outputs(
         left_nonblack = jnp.any(left_win != 0, axis=-1)
         w_left_win = jnp.where(left_nonblack, w_left_win, 0.0)
 
+    if gain:
+        # In-graph exposure compensation: no extra host syncs, the scalar
+        # gain flows straight into the blend below.
+        overlap = (w_left_win > 0.05) & (w_win > 0.05)
+        g = _estimate_gain(
+            left_win.astype(jnp.float32),
+            warped_right.astype(jnp.float32),
+            overlap,
+        )
+        warped_right = jnp.clip(
+            jnp.round(warped_right.astype(jnp.float32) * g), 0, 255
+        ).astype(jnp.uint8)
+
     if blend == "overlay":
         right_nonblack = rgb_win != 0
         win_out = jnp.where(right_nonblack[..., None], warped_right, left_win)
@@ -303,7 +336,7 @@ def blend_window_outputs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_h", "out_w", "win_h", "win_w", "blend"),
+    static_argnames=("out_h", "out_w", "win_h", "win_w", "blend", "gain"),
 )
 def warp_and_blend(
     left: jnp.ndarray,          # (Hl, Wl, 3) uint8
@@ -318,6 +351,8 @@ def warp_and_blend(
     win_y: Optional[jnp.ndarray] = None,
     win_h: Optional[int] = None,           # static warp-window size
     win_w: Optional[int] = None,
+    gain: bool = False,                    # exposure compensation (see
+    #                                        _estimate_gain)
 ) -> jnp.ndarray:
     """Fused inverse warp of `right` + composite with translated `left`.
 
@@ -351,6 +386,13 @@ def warp_and_blend(
         (win_y, win_x, jnp.asarray(0, win_y.dtype)),
         (win_h, win_w, 3),
     )
+
+    if gain:
+        overlap = (
+            jnp.any(left_win != 0, axis=-1) & (right_w > 0.05)
+        )
+        g = _estimate_gain(left_win.astype(jnp.float32), right_f, overlap)
+        right_f = right_f * g
 
     if blend == "overlay":
         # Reference semantics: non-black warped pixels win

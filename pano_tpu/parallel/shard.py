@@ -277,6 +277,7 @@ def composite_pairs_batched(
             return warp_ops.warp_and_blend(
                 left, right, m_inv, tx, ty, pad_h, pad_w, cfg.blend,
                 win_x=wx, win_y=wy, win_h=win_h, win_w=win_w,
+                gain=cfg.gain_compensation,
             )
 
         gl = jnp.stack([lefts[b] for b in idxs])

@@ -312,6 +312,7 @@ class PairStitcher:
             win_h,
             win_w,
             cfg.blend,
+            gain=cfg.gain_compensation,
         )
 
         packed_out = jnp.concatenate(
@@ -533,6 +534,7 @@ class PairStitcher:
                 win_h,
                 win_w,
                 cfg.blend,
+                gain=cfg.gain_compensation,
             )
             return canvas[:canvas_h, :canvas_w]
 
@@ -549,6 +551,7 @@ class PairStitcher:
             win_y=jnp.asarray(wy0, jnp.int32),
             win_h=win_h,
             win_w=win_w,
+            gain=cfg.gain_compensation,
         )
         return canvas[:canvas_h, :canvas_w]
 
@@ -911,6 +914,7 @@ def composite_global(
                 win_w,
                 cfg.blend,
                 w_left_win=w_left_win,
+                gain=cfg.gain_compensation,
             )
             weight_canvas = jax.lax.dynamic_update_slice(
                 weight_canvas,
@@ -931,6 +935,7 @@ def composite_global(
                 win_y=jnp.asarray(wy0, jnp.int32),
                 win_h=win_h,
                 win_w=win_w,
+                gain=cfg.gain_compensation,
             )
             # The XLA fallback derives left weights from nonblack coverage
             # internally; the weight canvas keeps its previous state (the

@@ -71,3 +71,46 @@ def test_multiband_compose_seamless(rng):
     ).astype(np.float32)
     # Identical sources -> output equals the source everywhere it's covered.
     np.testing.assert_allclose(out, base, atol=2.0)
+
+
+# --- exposure (gain) compensation -----------------------------------------
+
+def test_gain_compensation_restores_exposure():
+    """Right image brightened 1.3x: with --gain the right-only region of the
+    panorama is pulled back to the left image's exposure; without it the
+    brightness step survives (the reference pipeline's behavior)."""
+    import dataclasses
+
+    from pano_tpu.config import DEFAULT_CONFIG
+    from pano_tpu.pipeline import PairStitcher
+
+    r = np.random.default_rng(3)
+    base = r.integers(40, 140, (96, 224, 3)).astype(np.uint8)
+    left = base[:, :128].copy()
+    right = np.clip(base[:, 96:].astype(np.float32) * 1.3, 0, 255).astype(
+        np.uint8
+    )
+    # Known homography: right content starts at left x=96 -> pure translation.
+    h = np.array([[1.0, 0.0, 96.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+
+    def run(gain):
+        cfg = DEFAULT_CONFIG.replace(
+            stitch=dataclasses.replace(
+                DEFAULT_CONFIG.stitch, blend="feather",
+                gain_compensation=gain,
+            )
+        )
+        st = PairStitcher(cfg, print_timing=False)
+        return np.asarray(
+            st.composite(jnp.asarray(left), jnp.asarray(right), h)
+        )
+
+    pano_off = run(False)
+    pano_on = run(True)
+    # Right-only region: canvas x in [130, 220).
+    target = base[:, 130:220].mean()
+    off_err = abs(pano_off[:, 130:220].mean() - target)
+    on_err = abs(pano_on[:, 130:220].mean() - target)
+    assert off_err > 15.0, off_err     # uncompensated step is visible
+    assert on_err < 6.0, on_err        # compensated matches left exposure
+    assert on_err < off_err / 3
