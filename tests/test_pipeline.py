@@ -225,6 +225,38 @@ def test_fused_stitch_flags_envelope_violation():
             assert v[18] < 0.5, "expected kernel_safe=0 for 30deg rotation"
 
 
+def test_fused_stitch_flags_canvas_overflow():
+    """A vertical placement whose true canvas exceeds the panorama-shaped
+    static padding (pad_h = hl + hr/2) must clear `safe` so
+    stitch_pair_fast falls back to the exact staged path instead of
+    silently truncating the panorama (ADVICE round-1 medium finding)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Vertical pair: right image's content sits fully BELOW the left image
+    # -> canvas_h ~= hl + hr - overlap = 584 > pad_h = round_up(300 + 150
+    # + 2, 128) = 512.
+    base = checkerboard_texture(600, 160, seed=8)
+    top = base[:300].copy()
+    bottom = base[284:584].copy()  # 16 px overlap
+
+    stitcher = PairStitcher(SMALL, print_timing=False)
+    with pltpu.force_tpu_interpret_mode():
+        packed_out, _, _ = stitcher._fused_stitch(1)(
+            jnp.asarray(top), jnp.asarray(bottom)
+        )
+    v = np.asarray(packed_out)
+    assert v[11] > 0.5, "RANSAC should solve the vertical translation"
+    h = v[:9].reshape(3, 3)
+    assert h[1, 2] > 250, h  # right maps ~284 px down
+    assert v[18] < 0.5, "expected safe=0 for canvas overflow"
+
+    # And the public path must still produce the full (untruncated) result
+    # via the staged fallback.
+    pano = stitcher.stitch_pair(jnp.asarray(top), jnp.asarray(bottom))
+    assert pano is not None
+    assert np.asarray(pano).shape[0] >= 578
+
+
 def test_timing_lines_contract(capsys):
     """The stdout stage lines are a machine-readable API (SURVEY §1)."""
     left, right = translated_pair()
