@@ -127,13 +127,13 @@ def supports_homography(
         # Tile source extents.
         x_span = abs(j00) * TW + abs(j01) * TH
         y_span = abs(j10) * TW + abs(j11) * TH
-        if x_span + 130 > WIN_W or y_span + 34 > WIN_H:
+        if x_span + 132 > WIN_W or y_span + 34 > WIN_H:
             return False
         # Resampling-quality bound (see SCALE_MAX).
         if x_span > SCALE_MAX * TW or y_span > SCALE_MAX * TH:
             return False
         # Chunk extents: pass-V span VW columns horizontally, 8 rows.
-        if abs(j00) * TW + 130 > VW:
+        if abs(j00) * TW + 132 > VW:
             return False
         # Row tilt beta = dy/dx along an output row.
         if abs(j00) < 1e-9:
@@ -179,11 +179,11 @@ def envelope_ok_device(
     x_span = jnp.abs(j00) * TW + jnp.abs(j01) * TH
     y_span = jnp.abs(j10) * TW + jnp.abs(j11) * TH
     ok = den_ok
-    ok &= x_span + 130 < WIN_W
+    ok &= x_span + 132 < WIN_W
     ok &= y_span + 34 < WIN_H
     ok &= x_span <= SCALE_MAX * TW     # resampling-quality bound
     ok &= y_span <= SCALE_MAX * TH
-    ok &= jnp.abs(j00) * TW + 130 < VW
+    ok &= jnp.abs(j00) * TW + 132 < VW
     ok &= jnp.abs(j00) > 1e-9
     j00_s = jnp.where(jnp.abs(j00) > 1e-9, j00, 1.0)
     beta = j10 / j00_s
@@ -194,7 +194,8 @@ def envelope_ok_device(
     return ok.all()
 
 
-def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
+def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
+                 *, has_alpha: bool = True):
     """One (TH, TW) output tile; see module docstring for the algorithm.
 
     The source window DMA is double-buffered across grid steps: pallas runs
@@ -221,37 +222,53 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
     off_x = params_ref[9]   # canvas-window origin (canvas coords)
     off_y = params_ref[10]
 
+    def proj_s(x, y):
+        """Scalar projective map (padded-source coords) — runs entirely on
+        the scalar unit; used for tile/window bounds instead of full
+        (TH, TW) coordinate maps (the map is edge-monotone over a rectangle
+        when den has no pole inside, which the envelope guards ensure, so
+        rectangle extrema live at the 4 corners)."""
+        den = h20 * x + h21 * y + h22
+        sx = (h00 * x + h01 * y + h02) / den + float(_BORDER)
+        sy = (h10 * x + h11 * y + h12) / den + float(_BORDER)
+        return sx, sy
+
+    def tile_bounds(tii, tjj):
+        """(sx_min, sx_max, sy_min, sy_max) of the UNCLIPPED source coords
+        over output tile (tii, tjj), from its 4 corners (scalar math)."""
+        x0 = (tjj * TW).astype(jnp.float32) + off_x
+        y0 = (tii * TH).astype(jnp.float32) + off_y
+        x1 = x0 + float(TW - 1)
+        y1 = y0 + float(TH - 1)
+        sx0, sy0 = proj_s(x0, y0)
+        sx1, sy1 = proj_s(x1, y0)
+        sx2, sy2 = proj_s(x0, y1)
+        sx3, sy3 = proj_s(x1, y1)
+        sx_min = jnp.minimum(jnp.minimum(sx0, sx1), jnp.minimum(sx2, sx3))
+        sx_max = jnp.maximum(jnp.maximum(sx0, sx1), jnp.maximum(sx2, sx3))
+        sy_min = jnp.minimum(jnp.minimum(sy0, sy1), jnp.minimum(sy2, sy3))
+        sy_max = jnp.maximum(jnp.maximum(sy0, sy1), jnp.maximum(sy2, sy3))
+        return sx_min, sx_max, sy_min, sy_max
+
     def window_start(tii, tjj):
-        """Aligned source-window origin for output tile (tii, tjj)."""
-        oy = (
-            lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
-            + (tii * TH).astype(jnp.float32) + off_y
-        )
-        ox = (
-            lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
-            + (tjj * TW).astype(jnp.float32) + off_x
-        )
-        den = h20 * ox + h21 * oy + h22
-        # Padded-source coordinates (+_BORDER for the black border), clamped
-        # so window math stays in range even for tiles mapping off-image
-        # (alpha=0 there anyway).
-        sx = jnp.clip(
-            (h00 * ox + h01 * oy + h02) / den + float(_BORDER),
-            0.0, float(wp - 2),
-        )
-        sy = jnp.clip(
-            (h10 * ox + h11 * oy + h12) / den + float(_BORDER),
-            0.0, float(hp - 2),
-        )
+        """Aligned source-window origin for output tile (tii, tjj).
+
+        Aligning DOWN from (min - 2) keeps >= 2 px of slack below the first
+        tap and loses at most (align - 1) px to alignment, leaving
+        WIN - align - 1 px of coverage above the minimum — consistent with
+        the envelope guards' span budgets. (Subtracting a full alignment
+        unit BEFORE aligning, as an earlier version did, wastes up to one
+        extra alignment unit of right/bottom coverage, which for near-limit
+        spans at unlucky phases could push the last taps out the window.)
+        """
+        sx_min, _, sy_min, _ = tile_bounds(tii, tjj)
+        sxc = jnp.clip(sx_min, 0.0, float(wp - 2))
+        syc = jnp.clip(sy_min, 0.0, float(hp - 2))
         wy = pl.multiple_of(
-            jnp.clip((jnp.min(sy).astype(jnp.int32) - 8) & ~7, 0, hp - WIN_H),
-            8,
+            jnp.clip((syc.astype(jnp.int32) - 2) & ~7, 0, hp - WIN_H), 8
         )
         wx = pl.multiple_of(
-            jnp.clip(
-                (jnp.min(sx).astype(jnp.int32) - 128) & ~127, 0, wp - WIN_W
-            ),
-            128,
+            jnp.clip((sxc.astype(jnp.int32) - 2) & ~127, 0, wp - WIN_W), 128
         )
         return wy, wx
 
@@ -294,22 +311,12 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
     # worst-case-sized windows in the fused path leave many such tiles.
     real_w = params_ref[11]
     real_h = params_ref[12]
-    t_oy = (
-        lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
-        + (ti * TH).astype(jnp.float32) + off_y
-    )
-    t_ox = (
-        lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
-        + (tj * TW).astype(jnp.float32) + off_x
-    )
-    t_den = h20 * t_ox + h21 * t_oy + h22
-    t_sx = (h00 * t_ox + h01 * t_oy + h02) / t_den + float(_BORDER)
-    t_sy = (h10 * t_ox + h11 * t_oy + h12) / t_den + float(_BORDER)
+    t_sx_min, t_sx_max, t_sy_min, t_sy_max = tile_bounds(ti, tj)
     tile_hits = (
-        (jnp.max(t_sx) > 0.5)
-        & (jnp.min(t_sx) < real_w + 1.5)
-        & (jnp.max(t_sy) > 0.5)
-        & (jnp.min(t_sy) < real_h + 1.5)
+        (t_sx_max > 0.5)
+        & (t_sx_min < real_w + 1.5)
+        & (t_sy_max > 0.5)
+        & (t_sy_min < real_h + 1.5)
     )
 
     @pl.when(jnp.logical_not(tile_hits))
@@ -328,8 +335,9 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
             + (tj * TW).astype(jnp.float32) + off_x
         )
         rden = h20 * rox + h21 * roy + h22
-        csx_raw = (h00 * rox + h01 * roy + h02) / rden + float(_BORDER)
-        csy_raw = (h10 * rox + h11 * roy + h12) / rden + float(_BORDER)
+        rinv = 1.0 / rden
+        csx_raw = (h00 * rox + h01 * roy + h02) * rinv + float(_BORDER)
+        csy_raw = (h10 * rox + h11 * roy + h12) * rinv + float(_BORDER)
         csx = jnp.clip(csx_raw, 0.0, float(wp - 2))
         csy = jnp.clip(csy_raw, 0.0, float(hp - 2))
 
@@ -347,72 +355,154 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem):
         alpha = syl - beta * sxl
 
         # Chunk-local column window (128-aligned within the tile window).
-        cx0 = pl.multiple_of(
-            jnp.clip(
-                (jnp.min(csx).astype(jnp.int32) - wx0 - 128) & ~127,
-                0, WIN_W - VW,
-            ),
-            128,
-        )
+        # csx is row-monotone (Mobius map, monotone under round-to-nearest),
+        # so its extrema over the chunk are in the endpoint columns — no
+        # (8, TW) reduction needed. Align DOWN from (min - 2): see
+        # window_start for the coverage accounting.
+        csx_lo = jnp.min(jnp.minimum(csx[:, :1], csx[:, TW - 1:]))
+        csx_hi = jnp.max(jnp.maximum(csx[:, :1], csx[:, TW - 1:]))
+        # The chunk column window: with VW == WIN_W (the current geometry)
+        # it is exactly the tile window, i.e. cx0 = 0 (the clip range
+        # [0, WIN_W - VW] is empty); the general alignment computation is
+        # kept for a future VW < WIN_W split.
+        if VW == WIN_W:
+            cx0 = 0
+        else:
+            cx0 = pl.multiple_of(
+                jnp.clip(
+                    (csx_lo.astype(jnp.int32) - wx0 - 2) & ~127,
+                    0, WIN_W - VW,
+                ),
+                128,
+            )
+        cx0f = 0.0 if VW == WIN_W else cx0.astype(jnp.float32)
         xs = (
             lax.broadcasted_iota(jnp.int32, (8, VW), 1).astype(jnp.float32)
-            + wx0f + cx0.astype(jnp.float32)
+            + wx0f + cx0f
         )
         vy = alpha + beta * xs                       # (8, VW) padded coords
         vy = jnp.clip(vy, 0.0, float(hp - 2))
         vy0 = jnp.floor(vy)
         fyv = vy - vy0
 
-        # Chunk-local row window (8-aligned).
+        # Chunk-local row window (8-aligned). vy is linear in xs along each
+        # row (and fp-monotone), so the window-endpoint values bound the
+        # whole (8, VW) map — computed on (8, 1) vectors, bitwise-consistent
+        # with the map's own endpoint entries.
+        xs_lo = wx0f + cx0f
+        xs_hi = xs_lo + float(VW - 1)
+        v_ends = jnp.minimum(
+            jnp.clip(alpha + beta * xs_lo, 0.0, float(hp - 2)),
+            jnp.clip(alpha + beta * xs_hi, 0.0, float(hp - 2)),
+        )
+        v_ends_hi = jnp.maximum(
+            jnp.clip(alpha + beta * xs_lo, 0.0, float(hp - 2)),
+            jnp.clip(alpha + beta * xs_hi, 0.0, float(hp - 2)),
+        )
+        vmin_i = jnp.min(jnp.floor(v_ends)).astype(jnp.int32)
+        vmax_i = jnp.max(jnp.floor(v_ends_hi)).astype(jnp.int32)
         rl0 = pl.multiple_of(
-            jnp.clip(
-                (jnp.min(vy0).astype(jnp.int32) - wy0) & ~7, 0, WIN_H - RV * 8
-            ),
-            8,
+            jnp.clip((vmin_i - wy0) & ~7, 0, WIN_H - RV * 8), 8
         )
         li = vy0.astype(jnp.int32) - wy0 - rl0       # in [0, RV*8) if guarded
 
+        # Round predication: a chunk's rows span only ~scale*8+|beta|*VW
+        # source rows, so typically 2 of the RV 8-row rounds contain every
+        # tap — lax.cond skips the dead rounds' gathers entirely (the round
+        # bounds depend on the traced H, so this must be a runtime branch;
+        # measured: conds beat both the static loop and dynamic-fori-loop
+        # variants on v5e).
+        li_min = vmin_i - wy0 - rl0
+        li_max = vmax_i - wy0 - rl0
         g0 = jnp.zeros((8, VW), jnp.int32)
         g1 = jnp.zeros((8, VW), jnp.int32)
         for r in range(RV):
-            s_r = s_cur[pl.ds(pl.multiple_of(rl0 + 8 * r, 8), 8), pl.ds(cx0, VW)]
-            lr = li - 8 * r
-            t = jnp.take_along_axis(s_r, jnp.clip(lr, 0, 7), axis=0)
-            g0 = jnp.where((lr >= 0) & (lr < 8), t, g0)
-            lr1 = lr + 1
-            t1 = jnp.take_along_axis(s_r, jnp.clip(lr1, 0, 7), axis=0)
-            g1 = jnp.where((lr1 >= 0) & (lr1 < 8), t1, g1)
+            # Round r serves g0 taps with li in [8r, 8r+7] and g1 taps with
+            # li in [8r-1, 8r+6]; skip unless the chunk's li range hits it.
+            hit_r = (li_max >= 8 * r - 1) & (li_min <= 8 * r + 7)
 
-        # Unpack BGRA + vertical mix -> 4 channel planes (8, VW).
+            def round_r(g, r=r):
+                g0, g1 = g
+                s_r = s_cur[
+                    pl.ds(pl.multiple_of(rl0 + 8 * r, 8), 8), pl.ds(cx0, VW)
+                ]
+                lr = li - 8 * r
+                t = jnp.take_along_axis(s_r, jnp.clip(lr, 0, 7), axis=0)
+                g0 = jnp.where((lr >= 0) & (lr < 8), t, g0)
+                lr1 = lr + 1
+                t1 = jnp.take_along_axis(s_r, jnp.clip(lr1, 0, 7), axis=0)
+                g1 = jnp.where((lr1 >= 0) & (lr1 < 8), t1, g1)
+                return g0, g1
+
+            g0, g1 = lax.cond(hit_r, round_r, lambda g: g, (g0, g1))
+
+        # Unpack BGR(A) + vertical mix -> channel planes (8, VW). Without an
+        # alpha plane (overlay blends) the weight is computed analytically
+        # below instead of resampling the constant-127 alpha channel.
+        n_planes = 4 if has_alpha else 3
         w0 = 1.0 - fyv
         planes = []
-        for shift in (0, 8, 16, 24):
+        for shift in (0, 8, 16, 24)[:n_planes]:
             c0 = ((g0 >> shift) & 0xFF).astype(jnp.float32)
             c1 = ((g1 >> shift) & 0xFF).astype(jnp.float32)
             planes.append(c0 * w0 + c1 * fyv)
 
         # Pass H: resample columns at lx (chunk-local).
-        lx = csx - (wx0f + cx0.astype(jnp.float32))  # (8, TW) in [0, VW)
+        lx = csx - (wx0f + cx0f)  # (8, TW) in [0, VW)
         lx = jnp.clip(lx, 0.0, float(VW - 2))
         x0 = jnp.floor(lx)
         fxh = lx - x0
         x0i = x0.astype(jnp.int32)
 
-        acc = [jnp.zeros((8, TW), jnp.float32) for _ in range(4)]
+        # Same predication for the horizontal rounds: x0 spans ~scale*TW+1
+        # columns, so typically 2 of the RH 128-lane blocks are live. The
+        # bounds come from the endpoint-column extrema (csx row-monotone).
+        base_x = wx0f + cx0f
+        x0_min = jnp.floor(
+            jnp.clip(csx_lo - base_x, 0.0, float(VW - 2))
+        ).astype(jnp.int32)
+        x0_max = jnp.floor(
+            jnp.clip(csx_hi - base_x, 0.0, float(VW - 2))
+        ).astype(jnp.int32)
+        acc = tuple(jnp.zeros((8, TW), jnp.float32) for _ in range(n_planes))
         for h in range(RH):
-            for tap in range(2):
-                xi = x0i + tap - 128 * h
-                sel = (xi >= 0) & (xi < 128)
-                wgt = jnp.where(tap == 0, 1.0 - fxh, fxh)
-                wgt = jnp.where(sel, wgt, 0.0)
-                xc = jnp.clip(xi, 0, 127)
-                for p in range(4):
-                    v = jnp.take_along_axis(
-                        planes[p][:, 128 * h : 128 * (h + 1)], xc, axis=1
-                    )
-                    acc[p] = acc[p] + v * wgt
+            # Block h serves taps with x0 in [128h-1, 128h+127].
+            hit_h = (x0_max >= 128 * h - 1) & (x0_min <= 128 * h + 127)
 
-        alpha_w = acc[3] * (1.0 / 127.0)
+            def round_h(acc, h=h):
+                out = list(acc)
+                for tap in range(2):
+                    xi = x0i + tap - 128 * h
+                    sel = (xi >= 0) & (xi < 128)
+                    wgt = jnp.where(tap == 0, 1.0 - fxh, fxh)
+                    wgt = jnp.where(sel, wgt, 0.0)
+                    xc = jnp.clip(xi, 0, 127)
+                    for p in range(n_planes):
+                        v = jnp.take_along_axis(
+                            planes[p][:, 128 * h : 128 * (h + 1)], xc, axis=1
+                        )
+                        out[p] = out[p] + v * wgt
+                return tuple(out)
+
+            acc = lax.cond(hit_h, round_h, lambda a: a, acc)
+
+        if has_alpha:
+            alpha_w = acc[3] * (1.0 / 127.0)
+        else:
+            # Analytic border weight: a tap at padded coord t is a real
+            # image pixel iff t in [1, W] (resp. [1, H]); the summed
+            # in-bounds bilinear weight factorizes per axis into
+            # clip(s, 0, 1) * clip(dim + 1 - s, 0, 1). This is EXACT (the
+            # XLA oracle's weight), where the resampled alpha channel is
+            # only the two-pass approximation of it.
+            wx_a = jnp.clip(csx_raw, 0.0, 1.0) * jnp.clip(
+                real_w + 1.0 - csx_raw, 0.0, 1.0
+            )
+            wy_a = jnp.clip(csy_raw, 0.0, 1.0) * jnp.clip(
+                real_h + 1.0 - csy_raw, 0.0, 1.0
+            )
+            alpha_w = wx_a * wy_a
+
         bgr = [jnp.clip(jnp.round(acc[p]), 0.0, 255.0).astype(jnp.int32)
                for p in range(3)]
         packed = bgr[0] | (bgr[1] << 8) | (bgr[2] << 16)
@@ -446,22 +536,28 @@ def make_params(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+@functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w", "has_alpha")
+)
 def warp_packed(
     src_packed: jnp.ndarray,   # (Hp, Wp) int32 from pack_bgra
     params: jnp.ndarray,       # (13,) f32 from make_params
     out_h: int,
     out_w: int,
+    has_alpha: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp the packed source onto an (out_h, out_w) canvas window.
 
     Returns (packed u8 RGB int32 (out_h, out_w), weight f32 (out_h, out_w)).
-    out_h/out_w must be multiples of the 128 tile size.
+    out_h/out_w must be multiples of the 128 tile size. With
+    has_alpha=False (overlay blends, constant packed alpha) the weight map
+    is the exact analytic border weight and the kernel skips resampling
+    the alpha channel (~25% less gather/mix work).
     """
     assert out_h % TH == 0 and out_w % TW == 0, (out_h, out_w)
     grid = (out_h // TH, out_w // TW)
     rgb, w = pl.pallas_call(
-        _warp_kernel,
+        functools.partial(_warp_kernel, has_alpha=has_alpha),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

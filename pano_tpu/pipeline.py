@@ -297,7 +297,7 @@ class PairStitcher:
         packed_src = pallas_warp.pack_bgra(right, alpha)
         params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
         rgb_win, w_win = pallas_warp.warp_packed(
-            packed_src, params, win_h, win_w
+            packed_src, params, win_h, win_w, has_alpha=alpha is not None
         )
         canvas, _ = warp_ops.blend_window_outputs(
             left,
@@ -519,7 +519,7 @@ class PairStitcher:
             packed = pallas_warp.pack_bgra(right_dev, alpha)
             params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
             rgb_win, w_win = pallas_warp.warp_packed(
-                packed, params, win_h, win_w
+                packed, params, win_h, win_w, has_alpha=alpha is not None
             )
             canvas, _ = warp_ops.blend_window_outputs(
                 left_dev,
@@ -893,7 +893,7 @@ def composite_global(
             packed = pallas_warp.pack_bgra(devs[i], alpha)
             params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
             rgb_win, w_win = pallas_warp.warp_packed(
-                packed, params, win_h, win_w
+                packed, params, win_h, win_w, has_alpha=alpha is not None
             )
             w_left_win = jax.lax.dynamic_slice(
                 weight_canvas,
