@@ -33,6 +33,7 @@ import numpy as np
 from pano_tpu.config import DEFAULT_CONFIG, PanoConfig
 from pano_tpu.ops import harris as harris_ops
 from pano_tpu.ops import match as match_ops
+from pano_tpu.ops import pallas_compose
 from pano_tpu.ops import pallas_warp
 from pano_tpu.ops import ransac as ransac_ops
 from pano_tpu.ops import warp as warp_ops
@@ -197,7 +198,10 @@ class PairStitcher:
     # wide tier); tier 1 fits tilted/perspective warps. stitch_pair_fast
     # tries tier 0, re-dispatches tier 1 if the in-graph coverage check
     # fails, and only then falls back to the exact staged path.
-    _WIN_TIERS = ((1.02, 32), (1.1, 300))
+    # (scale, height margin, width margin): both margins carry an extra 128
+    # so the tile-aligned window origin (see _fused_stitch_impl) still
+    # covers the warped extent.
+    _WIN_TIERS = ((1.02, 160, 160), (1.1, 428, 428))
 
     def _fused_stitch(self, tier: int = 0):
         # Per-instance cache (an lru_cache on the bound method would pin
@@ -215,7 +219,8 @@ class PairStitcher:
         Canvas geometry (warped corners, translation, canvas bounds, warp
         window origin) moves onto the device, the warp runs into a
         worst-case-size canvas, and the host fetches one small vector
-        [estimate packed (14) | min_x min_y canvas_h canvas_w kernel_safe]
+        [estimate packed (14) | min_x min_y canvas_h canvas_w kernel_safe
+        crop_y crop_x]
         to crop the result — a single tunnel round trip per pair instead of
         two (each costs 30-60 ms through the axon tunnel).
         """
@@ -241,10 +246,30 @@ class PairStitcher:
         canvas_h = jnp.ceil(max_y - min_y)
         canvas_w = jnp.ceil(max_x - min_x)
 
+        # Tile-aligned frame translation: rounding the translation UP to the
+        # u8 canvas's (8, 128) tiling makes both dynamic-update-slices in
+        # the composite (left placement + window write-back) tile-aligned —
+        # measured ~10x faster than arbitrary offsets, which force
+        # read-modify-write lane/sublane shifts on every destination tile.
+        # The true panorama then starts at (crop_y, crop_x) in [0,8)x[0,128)
+        # instead of (0, 0); the host crop (stitch_pair_fast) absorbs it.
+        # Bonus: the integer translation registers the left placement and
+        # the warp EXACTLY (the old float translation left a sub-pixel
+        # offset between them).
+        # The 1e-3 epsilon keeps fp noise in min_x/min_y (e.g. -48.00004)
+        # from pushing the ceil/floor pair across an integer and shifting
+        # the crop a full pixel; the worst case is sub-pixel (<= eps)
+        # clipping at the very edge, same order as the float translation
+        # this replaces.
+        tx = ((jnp.ceil(-min_x - 1e-3).astype(jnp.int32) + 127) // 128) * 128
+        ty = ((jnp.ceil(-min_y - 1e-3).astype(jnp.int32) + 127) // 128) * 128
+        txf = tx.astype(jnp.float32)
+        tyf = ty.astype(jnp.float32)
+
         t_mat = jnp.array(
             [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32
         )
-        t_mat = t_mat.at[0, 2].set(-min_x).at[1, 2].set(-min_y)
+        t_mat = t_mat.at[0, 2].set(txf).at[1, 2].set(tyf)
         m = t_mat @ h
         m_inv = ransac_ops.inv3x3(m)
 
@@ -254,42 +279,56 @@ class PairStitcher:
         # the anywhere-around-left worst case (measured 13.4 -> ~6 ms on the
         # 4K composite); placements that exceed it (vertical panoramas,
         # extreme tilt) trip the canvas-fit term of `safe` below and take
-        # the exact staged path instead.
-        pad_h = _round_up(hl + hr // 2 + 2, cfg.canvas_bucket)
-        pad_w = _round_up(wl + wr + 2, cfg.canvas_bucket)
+        # the exact staged path instead. The +130 slack covers the
+        # aligned translation's shift (up to 127 px).
+        pad_h = _round_up(hl + hr // 2 + 130, cfg.canvas_bucket)
+        pad_w = _round_up(wl + wr + 130, cfg.canvas_bucket)
         # Static warp window from the tier (see _WIN_TIERS); the in-graph
         # coverage check below rejects anything bigger, escalating tier 0 ->
         # tier 1 -> exact-bbox staged path.
-        scale, margin = self._WIN_TIERS[_tier]
-        win_h = min(_round_up(int(hr * scale) + margin, 128), pad_h)
-        win_w = min(_round_up(int(wr * scale) + margin, 128), pad_w)
+        scale, margin_h, margin_w = self._WIN_TIERS[_tier]
+        win_h = min(_round_up(int(hr * scale) + margin_h, 128), pad_h)
+        win_w = min(_round_up(int(wr * scale) + margin_w, 128), pad_w)
 
-        # Window origin in canvas coords (traced), clamped into the canvas.
-        cx = wxy[:, 0] - min_x
-        cy = wxy[:, 1] - min_y
+        # Window origin in canvas coords (traced), aligned DOWN to the
+        # canvas tiling (the tier margins absorb the up-to-7/127 px of
+        # coverage this shifts off the bottom/right edge) and clamped into
+        # the canvas (pad/win are 128-multiples, so the clamp preserves
+        # alignment).
+        cx = wxy[:, 0] + txf
+        cy = wxy[:, 1] + tyf
         wx0 = jnp.clip(
-            jnp.floor(cx.min()).astype(jnp.int32) - 2, 0, pad_w - win_w
+            (jnp.floor(cx.min()).astype(jnp.int32) - 2) & ~127,
+            0, pad_w - win_w,
         )
         wy0 = jnp.clip(
-            jnp.floor(cy.min()).astype(jnp.int32) - 2, 0, pad_h - win_h
+            (jnp.floor(cy.min()).astype(jnp.int32) - 2) & ~127,
+            0, pad_h - win_h,
         )
+
+        # Crop origin of the true panorama inside the padded canvas.
+        crop_x = jnp.floor(txf + min_x + 1e-3).astype(jnp.int32)
+        crop_y = jnp.floor(tyf + min_y + 1e-3).astype(jnp.int32)
 
         # In-graph kernel-envelope check (the device-side twin of
-        # pallas_warp.supports_homography) + window-coverage check + canvas
-        # fit check: for small images win_h/win_w can exceed the 2*dim+2
-        # padding margin, so a valid H may need a canvas larger than the
-        # static worst case — fall back to the exact staged path rather than
-        # silently truncating at the [:canvas_h, :canvas_w] crop.
+        # pallas_warp.supports_homography) + window-coverage checks (left
+        # AND right edges: the clamp above can pull the origin off the
+        # content when the canvas is too small) + canvas fit check: for
+        # small images win_h/win_w can exceed the padding margin, so a
+        # valid H may need a canvas larger than the static worst case —
+        # fall back to the exact staged path rather than silently
+        # truncating at the crop.
+        wx0f = wx0.astype(jnp.float32)
+        wy0f = wy0.astype(jnp.float32)
         safe = (
-            (cx.max() - cx.min() + 6.0 < win_w)
-            & (cy.max() - cy.min() + 6.0 < win_h)
-            & (canvas_h <= pad_h)
-            & (canvas_w <= pad_w)
+            (cx.max() + 4.0 < wx0f + win_w)
+            & (cy.max() + 4.0 < wy0f + win_h)
+            & (wx0f <= jnp.maximum(cx.min() - 2.0, 0.0))
+            & (wy0f <= jnp.maximum(cy.min() - 2.0, 0.0))
+            & (crop_y + canvas_h <= pad_h)
+            & (crop_x + canvas_w <= pad_w)
             & pallas_warp.envelope_ok_device(m_inv, wx0, wy0, win_h, win_w)
         )
-
-        tx = (-min_x).astype(jnp.int32)  # trunc == floor for >= 0
-        ty = (-min_y).astype(jnp.int32)
 
         alpha = None
         if cfg.blend in ("feather", "multiband"):
@@ -299,21 +338,37 @@ class PairStitcher:
         rgb_win, w_win = pallas_warp.warp_packed(
             packed_src, params, win_h, win_w, has_alpha=alpha is not None
         )
-        canvas, _ = warp_ops.blend_window_outputs(
-            left,
-            rgb_win,
-            w_win,
-            tx,
-            ty,
-            wx0,
-            wy0,
-            pad_h,
-            pad_w,
-            win_h,
-            win_w,
-            cfg.blend,
-            gain=cfg.gain_compensation,
-        )
+        if cfg.blend in ("overlay", "feather") and not cfg.gain_compensation:
+            # One-pass pallas composite (the aligned ty/tx/wy0/wx0 above are
+            # its contract); multiband/gain need the XLA epilogue.
+            canvas = pallas_compose.compose_canvas(
+                left,
+                rgb_win,
+                w_win if cfg.blend == "feather" else None,
+                ty,
+                tx,
+                wy0,
+                wx0,
+                pad_h,
+                pad_w,
+                cfg.blend,
+            )
+        else:
+            canvas, _ = warp_ops.blend_window_outputs(
+                left,
+                rgb_win,
+                w_win,
+                tx,
+                ty,
+                wx0,
+                wy0,
+                pad_h,
+                pad_w,
+                win_h,
+                win_w,
+                cfg.blend,
+                gain=cfg.gain_compensation,
+            )
 
         packed_out = jnp.concatenate(
             [
@@ -325,6 +380,8 @@ class PairStitcher:
                         canvas_h,
                         canvas_w,
                         safe.astype(jnp.float32),
+                        crop_y.astype(jnp.float32),
+                        crop_x.astype(jnp.float32),
                     ]
                 ),
             ]
@@ -368,7 +425,11 @@ class PairStitcher:
             if safe:
                 canvas_h = int(v[16])
                 canvas_w = int(v[17])
-                return canvas[:canvas_h, :canvas_w]
+                crop_y = int(v[19])
+                crop_x = int(v[20])
+                return canvas[
+                    crop_y:crop_y + canvas_h, crop_x:crop_x + canvas_w
+                ]
             # Coverage/envelope failed at this tier: widen the window.
         return self.stitch_pair(left_dev, right_dev)
 

@@ -177,3 +177,46 @@ def test_fused_stitch_matches_staged_on_tpu():
     # differ by the two-pass sub-pixel approximation on a small fraction.
     d = np.abs(a.astype(int) - b.astype(int)).max(-1)
     assert (d > 3).mean() < 0.01, (d.max(), (d > 3).mean())
+
+
+def test_compose_canvas_vs_xla_epilogue_on_tpu():
+    """The one-pass pallas compose kernel (REAL Mosaic lowering) vs the XLA
+    blend epilogue, overlay + feather, with a ragged left edge and a
+    nonzero tile-aligned placement."""
+    from pano_tpu.ops import warp as W
+    from pano_tpu.ops.pallas_compose import compose_canvas
+
+    r = np.random.default_rng(11)
+    hl, wl = 200, 300
+    win_h, win_w = 256, 384
+    pad_h, pad_w = 512, 640
+    ty, tx, wy0, wx0 = 128, 0, 128, 256
+    left = jnp.asarray(r.integers(0, 255, (hl, wl, 3)), jnp.uint8)
+    rgb = r.integers(0, 2**24, (win_h, win_w)).astype(np.int32)
+    hole = r.random((win_h, win_w)) < 0.3
+    rgb = jnp.asarray(np.where(hole, 0, rgb))
+    w = jnp.asarray(np.where(hole, 0.0, r.random((win_h, win_w))), jnp.float32)
+    s = lambda v: jnp.asarray(v, jnp.int32)
+
+    for blend in ("overlay", "feather"):
+        oracle, _ = jax.jit(
+            W.blend_window_outputs,
+            static_argnames=(
+                "out_h", "out_w", "win_h", "win_w", "blend", "gain"
+            ),
+        )(
+            left, rgb, w, s(tx), s(ty), s(wx0), s(wy0),
+            out_h=pad_h, out_w=pad_w, win_h=win_h, win_w=win_w, blend=blend,
+        )
+        got = np.asarray(
+            compose_canvas(
+                left, rgb, w if blend == "feather" else None,
+                s(ty), s(tx), s(wy0), s(wx0), pad_h, pad_w, blend,
+            )
+        )
+        oracle = np.asarray(oracle)
+        if blend == "overlay":
+            np.testing.assert_array_equal(got, oracle)
+        else:
+            d = np.abs(got.astype(int) - oracle.astype(int))
+            assert d.max() <= 1, d.max()

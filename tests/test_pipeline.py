@@ -191,7 +191,8 @@ def test_fused_stitch_matches_staged():
     assert v[11] > 0.5, "RANSAC ok flag"
     assert v[18] > 0.5, "kernel envelope flag"
     ch, cw = int(v[16]), int(v[17])
-    fused = np.asarray(canvas[:ch, :cw])
+    cy0, cx0 = int(v[19]), int(v[20])
+    fused = np.asarray(canvas[cy0:cy0 + ch, cx0:cx0 + cw])
     assert fused.shape == staged.shape, (fused.shape, staged.shape)
     d = np.abs(fused.astype(int) - staged.astype(int)).max(-1)
     # XLA warp vs pallas two-pass warp: tiny resample deltas only.
@@ -232,12 +233,12 @@ def test_fused_stitch_flags_canvas_overflow():
     silently truncating the panorama (ADVICE round-1 medium finding)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    # Vertical pair: right image's content sits fully BELOW the left image
-    # -> canvas_h ~= hl + hr - overlap = 584 > pad_h = round_up(300 + 150
-    # + 2, 128) = 512.
-    base = checkerboard_texture(600, 160, seed=8)
-    top = base[:300].copy()
-    bottom = base[284:584].copy()  # 16 px overlap
+    # Vertical pair: right image's content sits mostly BELOW the left image
+    # -> canvas_h ~= 352 + 448 = 800 > pad_h = round_up(400 + 224 + 130,
+    # 128) = 768.
+    base = checkerboard_texture(800, 160, seed=8)
+    top = base[:400].copy()
+    bottom = base[352:800].copy()  # 48 px overlap
 
     stitcher = PairStitcher(SMALL, print_timing=False)
     with pltpu.force_tpu_interpret_mode():
@@ -254,7 +255,7 @@ def test_fused_stitch_flags_canvas_overflow():
     # via the staged fallback.
     pano = stitcher.stitch_pair(jnp.asarray(top), jnp.asarray(bottom))
     assert pano is not None
-    assert np.asarray(pano).shape[0] >= 578
+    assert np.asarray(pano).shape[0] >= 790
 
 
 def test_timing_lines_contract(capsys):
