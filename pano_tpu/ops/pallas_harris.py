@@ -69,21 +69,46 @@ def pad_gray(gray: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(gray, ((PAD_R, hp - h - PAD_R), (PAD_C, wp - w - PAD_C)))
 
 
-def _make_kernel(h: int, w: int, k: float, nms_thresh: float):
+def _make_kernel(
+    h: int, w: int, k: float, nms_thresh: float, nti: int, ntj: int
+):
     """Kernel closure over static image dims and Harris constants."""
 
     def kernel(gray_ref, out_ref, wbuf, sem):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
 
-        copy = pltpu.make_async_copy(
-            gray_ref.at[pl.ds(ti * TH, WIN_R), pl.ds(tj * TW, WIN_C)],
-            wbuf,
-            sem,
-        )
-        copy.start()
-        copy.wait()
-        win = wbuf[:]
+        # Double-buffered window DMA (same pattern as ops/pallas_warp): at
+        # step t wait on the window prefetched at step t-1 and immediately
+        # start step t+1's copy, hiding the per-tile DMA latency behind the
+        # stencil compute.
+        step = ti * ntj + tj
+        slot = lax.rem(step, 2)
+        next_slot = lax.rem(step + 1, 2)
+
+        def start_dma(tii, tjj, into_slot):
+            pltpu.make_async_copy(
+                gray_ref.at[pl.ds(tii * TH, WIN_R), pl.ds(tjj * TW, WIN_C)],
+                wbuf.at[into_slot],
+                sem.at[into_slot],
+            ).start()
+
+        @pl.when(step == 0)
+        def _():
+            start_dma(ti, tj, slot)
+
+        @pl.when(step + 1 < nti * ntj)
+        def _():
+            tj1 = lax.rem(tj + 1, ntj)
+            ti1 = ti + (tj + 1) // ntj
+            start_dma(ti1, tj1, next_slot)
+
+        pltpu.make_async_copy(
+            gray_ref.at[pl.ds(0, WIN_R), pl.ds(0, WIN_C)],  # shape for wait
+            wbuf.at[slot],
+            sem.at[slot],
+        ).wait()
+        win = wbuf[slot]
 
         # Tile-local pixel q lives at window index (q + PAD_R - 0, ...):
         # window origin is padded (ti*TH, tj*TW) == pixel (ti*TH - PAD_R,
@@ -189,7 +214,7 @@ def harris_scores(
     nti = -(-h // TH)
     ntj = -(-w // TW)
     return pl.pallas_call(
-        _make_kernel(h, w, float(k), float(nms_thresh)),
+        _make_kernel(h, w, float(k), float(nms_thresh), nti, ntj),
         grid=(nti, ntj),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -197,7 +222,7 @@ def harris_scores(
         ),
         out_shape=jax.ShapeDtypeStruct((nti * TH, ntj * TW), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WIN_R, WIN_C), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, WIN_R, WIN_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(padded)

@@ -27,8 +27,10 @@ Memory plan per (128, 128) output tile:
     blending at edges) and padded so any clamped window fits;
   * one async DMA pulls the (WIN_H, WIN_W) source window (dynamic, aligned
     start) HBM -> VMEM;
-  * a fori_loop over 8-row chunks recomputes coordinates from iota, does the
-    two gather passes, and writes packed u8 RGB + a f32 alpha/weight map.
+  * an unrolled loop over 8-row chunks recomputes coordinates from iota,
+    does the two gather passes (vertical taps, then a requantized
+    BGRA-packed single-gather horizontal pass), and writes packed u8 RGB +
+    a f32 alpha/weight map.
 
 Outputs feed the same XLA blend epilogue as the reference path
 (ops/warp.py), so overlay and feather compositing are unchanged.
@@ -360,7 +362,6 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
         # (8, TW) reduction needed. Align DOWN from (min - 2): see
         # window_start for the coverage accounting.
         csx_lo = jnp.min(jnp.minimum(csx[:, :1], csx[:, TW - 1:]))
-        csx_hi = jnp.max(jnp.maximum(csx[:, :1], csx[:, TW - 1:]))
         # The chunk column window: with VW == WIN_W (the current geometry)
         # it is exactly the tile window, i.e. cx0 = 0 (the clip range
         # [0, WIN_W - VW] is empty); the general alignment computation is
@@ -395,46 +396,30 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
             jnp.clip(alpha + beta * xs_lo, 0.0, float(hp - 2)),
             jnp.clip(alpha + beta * xs_hi, 0.0, float(hp - 2)),
         )
-        v_ends_hi = jnp.maximum(
-            jnp.clip(alpha + beta * xs_lo, 0.0, float(hp - 2)),
-            jnp.clip(alpha + beta * xs_hi, 0.0, float(hp - 2)),
-        )
         vmin_i = jnp.min(jnp.floor(v_ends)).astype(jnp.int32)
-        vmax_i = jnp.max(jnp.floor(v_ends_hi)).astype(jnp.int32)
         rl0 = pl.multiple_of(
             jnp.clip((vmin_i - wy0) & ~7, 0, WIN_H - RV * 8), 8
         )
         li = vy0.astype(jnp.int32) - wy0 - rl0       # in [0, RV*8) if guarded
 
-        # Round predication: a chunk's rows span only ~scale*8+|beta|*VW
-        # source rows, so typically 2 of the RV 8-row rounds contain every
-        # tap — lax.cond skips the dead rounds' gathers entirely (the round
-        # bounds depend on the traced H, so this must be a runtime branch;
-        # measured: conds beat both the static loop and dynamic-fori-loop
-        # variants on v5e).
-        li_min = vmin_i - wy0 - rl0
-        li_max = vmax_i - wy0 - rl0
+        # All RV rounds run unconditionally: runtime predication of the
+        # dead rounds (lax.cond per round) was measured SLOWER by ~1 ms on
+        # v5e — the branches break Mosaic's instruction scheduling, while
+        # the dead rounds' gathers are cheap next to that loss.
         g0 = jnp.zeros((8, VW), jnp.int32)
         g1 = jnp.zeros((8, VW), jnp.int32)
         for r in range(RV):
-            # Round r serves g0 taps with li in [8r, 8r+7] and g1 taps with
-            # li in [8r-1, 8r+6]; skip unless the chunk's li range hits it.
-            hit_r = (li_max >= 8 * r - 1) & (li_min <= 8 * r + 7)
-
-            def round_r(g, r=r):
-                g0, g1 = g
-                s_r = s_cur[
-                    pl.ds(pl.multiple_of(rl0 + 8 * r, 8), 8), pl.ds(cx0, VW)
-                ]
-                lr = li - 8 * r
-                t = jnp.take_along_axis(s_r, jnp.clip(lr, 0, 7), axis=0)
-                g0 = jnp.where((lr >= 0) & (lr < 8), t, g0)
-                lr1 = lr + 1
-                t1 = jnp.take_along_axis(s_r, jnp.clip(lr1, 0, 7), axis=0)
-                g1 = jnp.where((lr1 >= 0) & (lr1 < 8), t1, g1)
-                return g0, g1
-
-            g0, g1 = lax.cond(hit_r, round_r, lambda g: g, (g0, g1))
+            # Round r serves g0 taps with li in [8r, 8r+7] and g1 taps
+            # with li in [8r-1, 8r+6].
+            s_r = s_cur[
+                pl.ds(pl.multiple_of(rl0 + 8 * r, 8), 8), pl.ds(cx0, VW)
+            ]
+            lr = li - 8 * r
+            t = jnp.take_along_axis(s_r, jnp.clip(lr, 0, 7), axis=0)
+            g0 = jnp.where((lr >= 0) & (lr < 8), t, g0)
+            lr1 = lr + 1
+            t1 = jnp.take_along_axis(s_r, jnp.clip(lr1, 0, 7), axis=0)
+            g1 = jnp.where((lr1 >= 0) & (lr1 < 8), t1, g1)
 
         # Unpack BGR(A) + vertical mix -> channel planes (8, VW). Without an
         # alpha plane (overlay blends) the weight is computed analytically
@@ -446,6 +431,17 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
             c0 = ((g0 >> shift) & 0xFF).astype(jnp.float32)
             c1 = ((g1 >> shift) & 0xFF).astype(jnp.float32)
             planes.append(c0 * w0 + c1 * fyv)
+        # Requantize the vertical mix to ONE BGRA-packed i32 plane so pass
+        # H fetches every channel with a single gather per tap (3-4x fewer
+        # dynamic gathers; measured -1.8 ms on the 4K window). The u8
+        # rounding between the passes costs at most +-1 vs the f32 chain —
+        # the same intermediate-quantization tradeoff cv2's own fixed-point
+        # INTER_LINEAR warp makes (it keeps only 5 fractional bits).
+        packedv = jnp.round(planes[0]).astype(jnp.int32)
+        for p in range(1, n_planes):
+            packedv = packedv | (
+                jnp.round(planes[p]).astype(jnp.int32) << (8 * p)
+            )
 
         # Pass H: resample columns at lx (chunk-local).
         lx = csx - (wx0f + cx0f)  # (8, TW) in [0, VW)
@@ -454,37 +450,20 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
         fxh = lx - x0
         x0i = x0.astype(jnp.int32)
 
-        # Same predication for the horizontal rounds: x0 spans ~scale*TW+1
-        # columns, so typically 2 of the RH 128-lane blocks are live. The
-        # bounds come from the endpoint-column extrema (csx row-monotone).
-        base_x = wx0f + cx0f
-        x0_min = jnp.floor(
-            jnp.clip(csx_lo - base_x, 0.0, float(VW - 2))
-        ).astype(jnp.int32)
-        x0_max = jnp.floor(
-            jnp.clip(csx_hi - base_x, 0.0, float(VW - 2))
-        ).astype(jnp.int32)
-        acc = tuple(jnp.zeros((8, TW), jnp.float32) for _ in range(n_planes))
+        acc = [jnp.zeros((8, TW), jnp.float32) for _ in range(n_planes)]
         for h in range(RH):
-            # Block h serves taps with x0 in [128h-1, 128h+127].
-            hit_h = (x0_max >= 128 * h - 1) & (x0_min <= 128 * h + 127)
-
-            def round_h(acc, h=h):
-                out = list(acc)
-                for tap in range(2):
-                    xi = x0i + tap - 128 * h
-                    sel = (xi >= 0) & (xi < 128)
-                    wgt = jnp.where(tap == 0, 1.0 - fxh, fxh)
-                    wgt = jnp.where(sel, wgt, 0.0)
-                    xc = jnp.clip(xi, 0, 127)
-                    for p in range(n_planes):
-                        v = jnp.take_along_axis(
-                            planes[p][:, 128 * h : 128 * (h + 1)], xc, axis=1
-                        )
-                        out[p] = out[p] + v * wgt
-                return tuple(out)
-
-            acc = lax.cond(hit_h, round_h, lambda a: a, acc)
+            for tap in range(2):
+                xi = x0i + tap - 128 * h
+                sel = (xi >= 0) & (xi < 128)
+                wgt = jnp.where(tap == 0, 1.0 - fxh, fxh)
+                wgt = jnp.where(sel, wgt, 0.0)
+                xc = jnp.clip(xi, 0, 127)
+                q = jnp.take_along_axis(
+                    packedv[:, 128 * h : 128 * (h + 1)], xc, axis=1
+                )
+                for p in range(n_planes):
+                    v = ((q >> (8 * p)) & 0xFF).astype(jnp.float32)
+                    acc[p] = acc[p] + v * wgt
 
         if has_alpha:
             alpha_w = acc[3] * (1.0 / 127.0)
@@ -513,7 +492,11 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
 
     @pl.when(tile_hits)
     def _():
-        lax.fori_loop(0, TH // 8, chunk_body, 0)
+        # Fully unrolled (16 chunks): a lax.fori_loop here was measured
+        # 3+ ms slower on the 4K window — the loop boundary serializes
+        # Mosaic's scheduling; unrolling restores cross-chunk ILP.
+        for _c in range(TH // 8):
+            chunk_body(jnp.int32(_c), 0)
 
 
 def make_params(

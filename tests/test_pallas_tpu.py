@@ -63,7 +63,9 @@ def test_warp_fractional_translation_vs_xla_on_tpu(img):
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int))
-    assert d.max() <= 1  # f32 rounding at .5 boundaries
+    # +-1 f32 rounding at .5 boundaries, +-1 more from the kernel's u8
+    # intermediate requantization between the two resampling passes.
+    assert d.max() <= 2
 
 
 def test_warp_projective_vs_xla_on_tpu(img):
@@ -108,7 +110,8 @@ def test_warp_envelope_edge_homography_on_tpu():
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int))
-    assert d.max() <= 1, d.max()  # f32 rounding only, even at the edge
+    # rounding + inter-pass u8 requantization only, even at the edge
+    assert d.max() <= 2, d.max()
 
     # Beyond the quality bound the guard must route to the exact XLA path.
     m_bad = np.array([[1.5, 0.02, 5.0], [0.01, 1.5, 3.0], [0.0, 0.0, 1.0]])

@@ -46,7 +46,9 @@ def test_fractional_translation_matches_xla(img):
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int))
-    assert d.max() <= 1  # f32 rounding at .5 boundaries
+    # +-1 f32 rounding at .5 boundaries, +-1 more from the kernel's u8
+    # intermediate requantization between the two resampling passes.
+    assert d.max() <= 2
 
 
 def test_projective_close_to_xla(img):
