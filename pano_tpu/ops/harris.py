@@ -142,7 +142,6 @@ def harris_detect(
     which the acceptance gate treats statistically).
     """
     h, w = img_u8.shape[:2]
-    gray = bgr_to_gray_f32(img_u8)
 
     use_kernel = (
         opts.use_pallas_scores
@@ -151,13 +150,15 @@ def harris_detect(
     )
     if use_kernel:
         # Fused Pallas kernel: the whole gray->response->NMS->threshold
-        # chain in one VMEM-resident pass (ops/pallas_harris.py).
+        # chain in one VMEM-resident pass (ops/pallas_harris.py) straight
+        # from the u8 image — the XLA gray chain never materializes.
         from pano_tpu.ops import pallas_harris
 
         padded = pallas_harris.harris_scores(
-            gray, h, w, opts.k, opts.nms_thresh
+            img_u8, h, w, opts.k, opts.nms_thresh
         )
     else:
+        gray = bgr_to_gray_f32(img_u8)
         resp = harris_response(gray, opts.k)
 
         half = opts.nms_neighborhood // 2

@@ -1,12 +1,13 @@
-"""Pallas fused Harris-scores kernel: gray -> gradients -> products ->
-Gaussian smoothing -> response -> strict NMS -> thresholded score map, in one
-VMEM-resident pass per tile.
+"""Pallas fused Harris-scores kernel: BGR u8 -> gray -> gradients ->
+products -> Gaussian smoothing -> response -> strict NMS -> thresholded
+score map, in one VMEM-resident pass per tile.
 
 The XLA version (ops/harris.py) materializes ~7 intermediate 52 MB planes in
 HBM per image and runs the shifted tap sums as separate fusions (~7 ms per
 13 MP image on v5e after all XLA-level tuning). This kernel DMAs each tile's
-gray window (with a 4-px stencil halo) into VMEM once and keeps the whole
-chain on-chip; the only HBM writes are the final score map.
+u8 channel-plane window (with a 4-px stencil halo) into VMEM once — gray
+conversion included, so not even the f32 gray image touches HBM — and keeps
+the whole chain on-chip; the only HBM writes are the final score map.
 
 Semantics are EXACTLY the reference chain (src/serial/main.cpp:119-185):
   * Sobel gradients with the zero "valid border" (gradients forced to 0
@@ -69,26 +70,45 @@ def pad_gray(gray: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(gray, ((PAD_R, hp - h - PAD_R), (PAD_C, wp - w - PAD_C)))
 
 
+def pad_bgr(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) u8 -> (3, Hp, Wp) u8 planes, image at offset
+    (PAD_R, PAD_C), zero elsewhere. The transpose is a layout bitcast on
+    TPU (u8 HWC is stored channel-planar, {1,0,2})."""
+    h, w = img_u8.shape[:2]
+    nti = -(-h // TH)
+    ntj = -(-w // TW)
+    hp = nti * TH + 2 * PAD_R
+    wp = ntj * TW + 2 * PAD_C
+    chw = jnp.transpose(img_u8, (2, 0, 1))
+    return jnp.pad(
+        chw, ((0, 0), (PAD_R, hp - h - PAD_R), (PAD_C, wp - w - PAD_C))
+    )
+
+
 def _make_kernel(
     h: int, w: int, k: float, nms_thresh: float, nti: int, ntj: int
 ):
     """Kernel closure over static image dims and Harris constants."""
 
-    def kernel(gray_ref, out_ref, wbuf, sem):
+    def kernel(bgr_ref, out_ref, wbuf, sem):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
 
         # Double-buffered window DMA (same pattern as ops/pallas_warp): at
         # step t wait on the window prefetched at step t-1 and immediately
         # start step t+1's copy, hiding the per-tile DMA latency behind the
-        # stencil compute.
+        # stencil compute. The window is the 3 u8 channel planes; gray
+        # conversion happens in VMEM (saves the XLA gray chain, its f32
+        # HBM round trip, AND 25% of the DMA bytes vs an f32 gray window).
         step = ti * ntj + tj
         slot = lax.rem(step, 2)
         next_slot = lax.rem(step + 1, 2)
 
         def start_dma(tii, tjj, into_slot):
             pltpu.make_async_copy(
-                gray_ref.at[pl.ds(tii * TH, WIN_R), pl.ds(tjj * TW, WIN_C)],
+                bgr_ref.at[
+                    :, pl.ds(tii * TH, WIN_R), pl.ds(tjj * TW, WIN_C)
+                ],
                 wbuf.at[into_slot],
                 sem.at[into_slot],
             ).start()
@@ -104,11 +124,18 @@ def _make_kernel(
             start_dma(ti1, tj1, next_slot)
 
         pltpu.make_async_copy(
-            gray_ref.at[pl.ds(0, WIN_R), pl.ds(0, WIN_C)],  # shape for wait
+            bgr_ref.at[:, pl.ds(0, WIN_R), pl.ds(0, WIN_C)],  # shape for wait
             wbuf.at[slot],
             sem.at[slot],
         ).wait()
-        win = wbuf[slot]
+        wu8 = wbuf[slot]
+        # cv::cvtColor(BGR2GRAY) emulation, matching ops/harris.py
+        # bgr_to_gray_f32 bit-for-bit (BT.601 weights, round-half-even).
+        # Mosaic has no u8 -> f32 cast; hop through i32.
+        bf = wu8[0].astype(jnp.int32).astype(jnp.float32)
+        gf = wu8[1].astype(jnp.int32).astype(jnp.float32)
+        rf = wu8[2].astype(jnp.int32).astype(jnp.float32)
+        win = jnp.round(0.114 * bf + 0.587 * gf + 0.299 * rf)
 
         # Tile-local pixel q lives at window index (q + PAD_R - 0, ...):
         # window origin is padded (ti*TH, tj*TW) == pixel (ti*TH - PAD_R,
@@ -202,15 +229,16 @@ def _make_kernel(
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "k", "nms_thresh"))
 def harris_scores(
-    gray: jnp.ndarray, h: int, w: int, k: float, nms_thresh: float
+    img_u8: jnp.ndarray, h: int, w: int, k: float, nms_thresh: float
 ) -> jnp.ndarray:
-    """Fused NMS'd Harris score map.
+    """Fused NMS'd Harris score map from the raw BGR u8 image (gray
+    conversion happens inside the kernel).
 
-    `gray` is the (H, W) f32 gray image (un-padded); returns the
+    `img_u8` is the (H, W, 3) u8 image (un-padded); returns the
     (round_up(H, TH), round_up(W, TW)) score map with -inf at non-peaks and
     everywhere outside the image.
     """
-    padded = pad_gray(gray)
+    padded = pad_bgr(img_u8)
     nti = -(-h // TH)
     ntj = -(-w // TW)
     return pl.pallas_call(
@@ -222,7 +250,7 @@ def harris_scores(
         ),
         out_shape=jax.ShapeDtypeStruct((nti * TH, ntj * TW), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_R, WIN_C), jnp.float32),
+            pltpu.VMEM((2, 3, WIN_R, WIN_C), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(padded)

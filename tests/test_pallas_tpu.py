@@ -130,7 +130,7 @@ def test_harris_scores_kernel_vs_xla_on_tpu():
     gray = H.bgr_to_gray_f32(jnp.asarray(img))
 
     got = np.asarray(
-        PH.harris_scores(gray, h, w, opts.k, opts.nms_thresh)
+        PH.harris_scores(jnp.asarray(img), h, w, opts.k, opts.nms_thresh)
     )[:h, :w]
 
     resp = H.harris_response(gray, opts.k)
