@@ -136,6 +136,128 @@ def _compose_kernel(
             out_ref[...] = jnp.stack(chans)
 
 
+def _compose_chain_kernel(
+    sref,          # (2,) i32: [wy_blk, wx_blk]
+    canvas_ref,    # (3, BT, BT) u8 block of the accumulated canvas
+    wcan_ref,      # (BT, BT) f32 block of the accumulated weight canvas
+    rgb_ref,       # (BT, BT) s32 block of the packed warped window
+    w_ref,         # (BT, BT) f32 block of the warped weight
+    out_ref,       # (3, BT, BT) u8
+    wout_ref,      # (BT, BT) f32
+    *,
+    blend: str,
+    nwb_y: int,
+    nwb_x: int,
+):
+    gi = pl.program_id(0)
+    gj = pl.program_id(1)
+    wy_b, wx_b = sref[0], sref[1]
+    in_win = (
+        (gi >= wy_b) & (gi < wy_b + nwb_y)
+        & (gj >= wx_b) & (gj < wx_b + nwb_x)
+    )
+
+    cb = canvas_ref[...]
+    wb = wcan_ref[...]
+
+    @pl.when(jnp.logical_not(in_win))
+    def _outside():
+        out_ref[...] = cb
+        wout_ref[...] = wb
+
+    @pl.when(in_win)
+    def _inside():
+        rgb = rgb_ref[...]
+        w_r = w_ref[...]
+        if blend == "overlay":
+            nb = rgb != 0
+            chans = []
+            for shift in (0, 8, 16):
+                wc = ((rgb >> shift) & 0xFF).astype(jnp.uint8)
+                chans.append(jnp.where(nb, wc, cb[shift // 8]))
+            out_ref[...] = jnp.stack(chans)
+        else:  # feather against the EXACT accumulated weight canvas
+            l_f = cb.astype(jnp.int32).astype(jnp.float32)
+            total = jnp.maximum(wb + w_r, 1e-6)
+            only_left = w_r <= 0.0
+            only_right = (wb <= 0.0) & (w_r > 0.0)
+            chans = []
+            for shift in (0, 8, 16):
+                r_f = ((rgb >> shift) & 0xFF).astype(jnp.float32)
+                b_f = (l_f[shift // 8] * wb + r_f * w_r) / total
+                b_f = jnp.where(only_left, l_f[shift // 8], b_f)
+                b_f = jnp.where(only_right, r_f, b_f)
+                chans.append(
+                    jnp.clip(jnp.round(b_f), 0.0, 255.0)
+                    .astype(jnp.int32).astype(jnp.uint8)
+                )
+            out_ref[...] = jnp.stack(chans)
+        wout_ref[...] = jnp.maximum(wb, w_r)
+
+
+@functools.partial(jax.jit, static_argnames=("blend",))
+def compose_chain_canvas(
+    canvas: jnp.ndarray,        # (pad_h, pad_w, 3) uint8 accumulated canvas
+    weight_canvas: jnp.ndarray,  # (pad_h, pad_w) f32 accumulated coverage
+    rgb_win: jnp.ndarray,       # (win_h, win_w) int32 packed warped RGB
+    w_win: jnp.ndarray,         # (win_h, win_w) f32 warped weight
+    wy0: jnp.ndarray,           # () int32 window origin — multiple of BT
+    wx0: jnp.ndarray,           # () int32 — multiple of BT
+    blend: str = "overlay",
+) -> tuple:
+    """Chain-mode composite step: blend one warped window into the
+    accumulated canvas + weight canvas, one pass over both. Mirrors
+    ops/warp.blend_window_outputs with an explicit w_left_win (the chain
+    branch) — pad_h/pad_w come from the canvas shape.
+
+    Returns (canvas, weight_canvas) updated."""
+    pad_h, pad_w = weight_canvas.shape
+    assert pad_h % BT == 0 and pad_w % BT == 0, (pad_h, pad_w)
+    win_h, win_w = rgb_win.shape
+    assert win_h % BT == 0 and win_w % BT == 0, (win_h, win_w)
+    if blend not in ("overlay", "feather"):
+        raise ValueError(f"unsupported pallas chain blend: {blend}")
+
+    canvas_chw = jnp.transpose(canvas, (2, 0, 1))
+    scalars = jnp.stack([wy0 // BT, wx0 // BT]).astype(jnp.int32)
+    grid = (pad_h // BT, pad_w // BT)
+
+    def win_map(gi, gj, s):
+        return (
+            jnp.clip(gi - s[0], 0, win_h // BT - 1),
+            jnp.clip(gj - s[1], 0, win_w // BT - 1),
+        )
+
+    kernel = functools.partial(
+        _compose_chain_kernel,
+        blend=blend,
+        nwb_y=win_h // BT,
+        nwb_x=win_w // BT,
+    )
+    out, wout = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((3, BT, BT), lambda gi, gj, s: (0, gi, gj)),
+                pl.BlockSpec((BT, BT), lambda gi, gj, s: (gi, gj)),
+                pl.BlockSpec((BT, BT), win_map),
+                pl.BlockSpec((BT, BT), win_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((3, BT, BT), lambda gi, gj, s: (0, gi, gj)),
+                pl.BlockSpec((BT, BT), lambda gi, gj, s: (gi, gj)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.uint8),
+            jax.ShapeDtypeStruct((pad_h, pad_w), jnp.float32),
+        ],
+    )(scalars, canvas_chw, weight_canvas, rgb_win, w_win)
+    return jnp.transpose(out, (1, 2, 0)), wout
+
+
 @functools.partial(
     jax.jit, static_argnames=("pad_h", "pad_w", "blend")
 )

@@ -931,8 +931,11 @@ def composite_global(
         m_inv = np.linalg.inv(m)
         hr, wr = images[i].shape[:2]
         corners = warp_ops.warp_corners(m, hr, wr)
-        wx0 = max(0, int(np.floor(corners[:, 0].min())) - 2)
-        wy0 = max(0, int(np.floor(corners[:, 1].min())) - 2)
+        # Window origin aligned DOWN to the 128-px canvas tile (the chain
+        # compose kernel's block-index mapping needs it; window sizes are
+        # already 128-multiples).
+        wx0 = max(0, (int(np.floor(corners[:, 0].min())) - 2) & ~127)
+        wy0 = max(0, (int(np.floor(corners[:, 1].min())) - 2) & ~127)
         wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
         wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
         win_w = min(_round_up(max(wx1 - wx0, 1), cfg.canvas_bucket), pad_w)
@@ -956,32 +959,52 @@ def composite_global(
             rgb_win, w_win = pallas_warp.warp_packed(
                 packed, params, win_h, win_w, has_alpha=alpha is not None
             )
-            w_left_win = jax.lax.dynamic_slice(
-                weight_canvas,
-                (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
-                (win_h, win_w),
-            )
-            canvas, new_w = warp_ops.blend_window_outputs(
-                canvas,
-                rgb_win,
-                w_win,
-                zero,
-                zero,
-                jnp.asarray(wx0, jnp.int32),
-                jnp.asarray(wy0, jnp.int32),
-                pad_h,
-                pad_w,
-                win_h,
-                win_w,
-                cfg.blend,
-                w_left_win=w_left_win,
-                gain=cfg.gain_compensation,
-            )
-            weight_canvas = jax.lax.dynamic_update_slice(
-                weight_canvas,
-                new_w,
-                (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
-            )
+            if (
+                cfg.blend in ("overlay", "feather")
+                and not cfg.gain_compensation
+            ):
+                # One-pass pallas chain composite: canvas + weight canvas
+                # updated together, no window slice/update-slice round
+                # trips (wy0/wx0 are 128-aligned above for this).
+                canvas, weight_canvas = pallas_compose.compose_chain_canvas(
+                    canvas,
+                    weight_canvas,
+                    rgb_win,
+                    w_win,
+                    jnp.asarray(wy0, jnp.int32),
+                    jnp.asarray(wx0, jnp.int32),
+                    cfg.blend,
+                )
+            else:
+                w_left_win = jax.lax.dynamic_slice(
+                    weight_canvas,
+                    (
+                        jnp.asarray(wy0, jnp.int32),
+                        jnp.asarray(wx0, jnp.int32),
+                    ),
+                    (win_h, win_w),
+                )
+                canvas, new_w = warp_ops.blend_window_outputs(
+                    canvas,
+                    rgb_win,
+                    w_win,
+                    zero,
+                    zero,
+                    jnp.asarray(wx0, jnp.int32),
+                    jnp.asarray(wy0, jnp.int32),
+                    pad_h,
+                    pad_w,
+                    win_h,
+                    win_w,
+                    cfg.blend,
+                    w_left_win=w_left_win,
+                    gain=cfg.gain_compensation,
+                )
+                weight_canvas = jax.lax.dynamic_update_slice(
+                    weight_canvas,
+                    new_w,
+                    (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
+                )
         else:
             canvas = warp_ops.warp_and_blend(
                 canvas,

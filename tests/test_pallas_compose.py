@@ -87,3 +87,56 @@ def test_compose_rejects_multiband():
     left, rgb, w, tyj, txj, wyj, wxj = _mk_case(0, 128, 128, 128, 128, 0, 0, 0, 0)
     with pytest.raises(ValueError):
         compose_canvas(left, rgb, w, tyj, txj, wyj, wxj, 256, 256, "multiband")
+
+
+@pytest.mark.parametrize("blend", ["overlay", "feather"])
+def test_compose_chain_matches_xla_epilogue(blend):
+    """compose_chain_canvas vs blend_window_outputs' chain branch (left IS
+    the canvas, explicit w_left_win, weight writeback)."""
+    from pano_tpu.ops.pallas_compose import compose_chain_canvas
+
+    rng = np.random.default_rng(17)
+    pad_h, pad_w = 384, 512
+    win_h, win_w = 256, 256
+    wy0, wx0 = 128, 256
+    canvas = jnp.asarray(
+        rng.integers(0, 255, (pad_h, pad_w, 3), np.uint8)
+    )
+    wcan = jnp.asarray(
+        np.where(rng.random((pad_h, pad_w)) < 0.5, 0.0,
+                 rng.random((pad_h, pad_w))), jnp.float32
+    )
+    rgb = rng.integers(0, 2**24, (win_h, win_w)).astype(np.int32)
+    hole = rng.random((win_h, win_w)) < 0.3
+    rgb = jnp.asarray(np.where(hole, 0, rgb))
+    w = jnp.asarray(
+        np.where(hole, 0.0, rng.random((win_h, win_w))), jnp.float32
+    )
+    s = lambda v: jnp.asarray(v, jnp.int32)
+
+    w_left_win = jax.lax.dynamic_slice(
+        wcan, (s(wy0), s(wx0)), (win_h, win_w)
+    )
+    oracle, new_w = jax.jit(
+        warp_ops.blend_window_outputs,
+        static_argnames=("out_h", "out_w", "win_h", "win_w", "blend", "gain"),
+    )(
+        canvas, rgb, w, s(0), s(0), s(wx0), s(wy0),
+        out_h=pad_h, out_w=pad_w, win_h=win_h, win_w=win_w, blend=blend,
+        w_left_win=w_left_win,
+    )
+    oracle_wcan = jax.lax.dynamic_update_slice(wcan, new_w, (s(wy0), s(wx0)))
+
+    with pltpu.force_tpu_interpret_mode():
+        got, got_w = compose_chain_canvas(
+            canvas, wcan, rgb, w, s(wy0), s(wx0), blend
+        )
+
+    got, got_w = np.asarray(got), np.asarray(got_w)
+    np.testing.assert_allclose(got_w, np.asarray(oracle_wcan), rtol=1e-6)
+    oracle = np.asarray(oracle)
+    if blend == "overlay":
+        np.testing.assert_array_equal(got, oracle)
+    else:
+        d = np.abs(got.astype(int) - oracle.astype(int))
+        assert d.max() <= 1, d.max()
