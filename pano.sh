@@ -150,6 +150,12 @@ EOF
             echo "Performance profiling completed successfully!"
             echo "Performance report saved to ${IMPL}_perf_report.txt"
             echo "Profiler trace (xplane) saved to ${TRACE_DIR}"
+            # Per-op device-time table (the reference's `perf report --stdio`
+            # analog, /root/reference/pano.sh:231-235) appended to the report.
+            if "$PYTHON" "${SCRIPT_DIR}/tools/xprof_summary.py" \
+                    "$TRACE_DIR" --top 25 >> "${IMPL}_perf_report.txt" 2>/dev/null; then
+                echo "Per-op device summary appended to ${IMPL}_perf_report.txt"
+            fi
         else
             echo "Performance profiling failed with error code $?"
         fi
