@@ -55,9 +55,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-_PACKED_GATHER = True  # A/B flag: packed-i32 flat gather vs u8 row gather
-
-
 def extract_patch_descriptors(
     img_u8: jnp.ndarray, kps: KeyPoints, patch_size: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -84,22 +81,19 @@ def extract_patch_descriptors(
     ys = jnp.clip(y[:, None] + offs[None, :], 0, h - 1)       # (K, P)
     xs = jnp.clip(x[:, None] + offs[None, :], 0, w - 1)       # (K, P)
     k_cap = kps.xy.shape[0]
-    if _PACKED_GATHER:
-        # Pack BGR into one i32/pixel, then flat 1-D gather: one fetched
-        # element per patch pixel instead of a u8[...,3] row, and no
-        # channel-minor relayout copy of the image feeding the gather.
-        p32 = img_u8.astype(jnp.int32)
-        pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
-        idx = (ys[:, :, None] * w + xs[:, None, :]).reshape(k_cap, -1)
-        g = jnp.take(pk.reshape(-1), idx, axis=0)             # (K, P*P)
-        patches = jnp.stack(
-            [(g & 0xFF), (g >> 8) & 0xFF, (g >> 16) & 0xFF], axis=-1
-        )
-        desc = patches.reshape(k_cap, -1).astype(jnp.float32)
-    else:
-        # (K, P, P, 3) gather — one pass over HBM.
-        patches = img_u8[ys[:, :, None], xs[:, None, :], :]
-        desc = patches.reshape(k_cap, -1).astype(jnp.float32)
+    # Pack BGR into one i32/pixel, then flat 1-D gather: one fetched
+    # element per patch pixel instead of a u8[...,3] row, and no
+    # channel-minor relayout copy of the image feeding the gather
+    # (measured marginally faster than the u8 row gather in-graph, and
+    # much faster than 2-D advanced indexing or slice-gathers).
+    p32 = img_u8.astype(jnp.int32)
+    pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
+    idx = (ys[:, :, None] * w + xs[:, None, :]).reshape(k_cap, -1)
+    g = jnp.take(pk.reshape(-1), idx, axis=0)             # (K, P*P)
+    patches = jnp.stack(
+        [(g & 0xFF), (g >> 8) & 0xFF, (g >> 16) & 0xFF], axis=-1
+    )
+    desc = patches.reshape(k_cap, -1).astype(jnp.float32)
     desc = jnp.where(border_valid[:, None], desc, 0.0)
 
     d = desc.shape[1]

@@ -48,6 +48,40 @@ from jax.experimental.pallas import tpu as pltpu
 BT = 128  # canvas tile (must match the alignment in pipeline._fused_stitch_impl)
 
 
+def _blend_tile(base, w_l, rgb, w_r, blend):
+    """Blend one (3, BT, BT) u8 base tile with a packed warped tile —
+    the in-kernel twin of ops/warp.blend_window_outputs' per-pixel math,
+    shared by the pair and chain kernels so the semantics cannot drift.
+
+    Returns the blended (3, BT, BT) u8 stack."""
+    if blend == "overlay":
+        # Any non-(0,0,0) warped pixel overwrites the canvas
+        # (src/serial/main.cpp:380-386).
+        nb = rgb != 0
+        chans = []
+        for shift in (0, 8, 16):
+            wc = ((rgb >> shift) & 0xFF).astype(jnp.uint8)
+            chans.append(jnp.where(nb, wc, base[shift // 8]))
+        return jnp.stack(chans)
+    # feather — mirrors ops/warp.blend_window_outputs exactly.
+    # Mosaic has no u8 <-> f32 casts; hop through i32 both ways.
+    l_f = base.astype(jnp.int32).astype(jnp.float32)
+    total = jnp.maximum(w_l + w_r, 1e-6)
+    only_left = w_r <= 0.0
+    only_right = (w_l <= 0.0) & (w_r > 0.0)
+    chans = []
+    for shift in (0, 8, 16):
+        r_f = ((rgb >> shift) & 0xFF).astype(jnp.float32)
+        b_f = (l_f[shift // 8] * w_l + r_f * w_r) / total
+        b_f = jnp.where(only_left, l_f[shift // 8], b_f)
+        b_f = jnp.where(only_right, r_f, b_f)
+        chans.append(
+            jnp.clip(jnp.round(b_f), 0.0, 255.0)
+            .astype(jnp.int32).astype(jnp.uint8)
+        )
+    return jnp.stack(chans)
+
+
 def _compose_kernel(
     sref,          # (4,) i32: [ty_blk, tx_blk, wy_blk, wx_blk]
     left_ref,      # (3, BT, BT) u8 block of the left image (clamped index)
@@ -99,18 +133,10 @@ def _compose_kernel(
     def _inside():
         rgb = rgb_ref[...]
         if blend == "overlay":
-            # Any non-(0,0,0) warped pixel overwrites the canvas
-            # (src/serial/main.cpp:380-386).
-            nb = rgb != 0
-            chans = []
-            for shift in (0, 8, 16):
-                wc = ((rgb >> shift) & 0xFF).astype(jnp.uint8)
-                chans.append(jnp.where(nb, wc, base[shift // 8]))
-            out_ref[...] = jnp.stack(chans)
-        else:  # feather — mirrors ops/warp.blend_window_outputs exactly
-            w_r = w_ref[...]
-            # Mosaic has no u8 -> f32 cast; hop through i32.
-            l_f = base.astype(jnp.int32).astype(jnp.float32)
+            w_l = None
+        else:
+            # Analytic left feather weight: the edge-distance ramp
+            # (ops/warp._edge_ramp) masked by coverage and nonblack pixels.
             nb_l = (base[0] | base[1] | base[2]) != 0
             lyf = ly.astype(jnp.float32)
             lxf = lx.astype(jnp.float32)
@@ -119,21 +145,7 @@ def _compose_kernel(
                 jnp.minimum(lyf + 1.0, hl - lyf),
             ) * (1.0 / (min(hl, wl) / 2.0))
             w_l = jnp.where(left_px & nb_l, ramp, 0.0)
-            total = jnp.maximum(w_l + w_r, 1e-6)
-            only_left = w_r <= 0.0
-            only_right = (w_l <= 0.0) & (w_r > 0.0)
-            chans = []
-            for shift in (0, 8, 16):
-                r_f = ((rgb >> shift) & 0xFF).astype(jnp.float32)
-                b_f = (l_f[shift // 8] * w_l + r_f * w_r) / total
-                b_f = jnp.where(only_left, l_f[shift // 8], b_f)
-                b_f = jnp.where(only_right, r_f, b_f)
-                # (f32 -> u8 is unsupported in Mosaic; hop through i32.)
-                chans.append(
-                    jnp.clip(jnp.round(b_f), 0.0, 255.0)
-                    .astype(jnp.int32).astype(jnp.uint8)
-                )
-            out_ref[...] = jnp.stack(chans)
+        out_ref[...] = _blend_tile(base, w_l, rgb, w_ref[...], blend)
 
 
 def _compose_chain_kernel(
@@ -167,31 +179,9 @@ def _compose_chain_kernel(
 
     @pl.when(in_win)
     def _inside():
-        rgb = rgb_ref[...]
         w_r = w_ref[...]
-        if blend == "overlay":
-            nb = rgb != 0
-            chans = []
-            for shift in (0, 8, 16):
-                wc = ((rgb >> shift) & 0xFF).astype(jnp.uint8)
-                chans.append(jnp.where(nb, wc, cb[shift // 8]))
-            out_ref[...] = jnp.stack(chans)
-        else:  # feather against the EXACT accumulated weight canvas
-            l_f = cb.astype(jnp.int32).astype(jnp.float32)
-            total = jnp.maximum(wb + w_r, 1e-6)
-            only_left = w_r <= 0.0
-            only_right = (wb <= 0.0) & (w_r > 0.0)
-            chans = []
-            for shift in (0, 8, 16):
-                r_f = ((rgb >> shift) & 0xFF).astype(jnp.float32)
-                b_f = (l_f[shift // 8] * wb + r_f * w_r) / total
-                b_f = jnp.where(only_left, l_f[shift // 8], b_f)
-                b_f = jnp.where(only_right, r_f, b_f)
-                chans.append(
-                    jnp.clip(jnp.round(b_f), 0.0, 255.0)
-                    .astype(jnp.int32).astype(jnp.uint8)
-                )
-            out_ref[...] = jnp.stack(chans)
+        # feather blends against the EXACT accumulated weight canvas (wb).
+        out_ref[...] = _blend_tile(cb, wb, rgb_ref[...], w_r, blend)
         wout_ref[...] = jnp.maximum(wb, w_r)
 
 

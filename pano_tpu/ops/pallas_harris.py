@@ -59,17 +59,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pad_gray(gray: jnp.ndarray) -> jnp.ndarray:
-    """(H, W) f32 -> (Hp, Wp) with the image at offset (PAD_R, PAD_C) and
-    zero elsewhere, sized so every tile window stays in bounds."""
-    h, w = gray.shape
-    nti = -(-h // TH)
-    ntj = -(-w // TW)
-    hp = nti * TH + 2 * PAD_R
-    wp = ntj * TW + 2 * PAD_C
-    return jnp.pad(gray, ((PAD_R, hp - h - PAD_R), (PAD_C, wp - w - PAD_C)))
-
-
 def pad_bgr(img_u8: jnp.ndarray) -> jnp.ndarray:
     """(H, W, 3) u8 -> (3, Hp, Wp) u8 planes, image at offset
     (PAD_R, PAD_C), zero elsewhere. The transpose is a layout bitcast on
@@ -129,9 +118,11 @@ def _make_kernel(
             sem.at[slot],
         ).wait()
         wu8 = wbuf[slot]
-        # cv::cvtColor(BGR2GRAY) emulation, matching ops/harris.py
-        # bgr_to_gray_f32 bit-for-bit (BT.601 weights, round-half-even).
-        # Mosaic has no u8 -> f32 cast; hop through i32.
+        # cv::cvtColor(BGR2GRAY) emulation — same formula as
+        # ops/harris.py bgr_to_gray_f32 (BT.601 weights, round-half-even),
+        # but the kernel's contraction order can round half-boundary pixels
+        # +-1 differently (see test_pallas_harris' tolerance). Mosaic has
+        # no u8 -> f32 cast; hop through i32.
         bf = wu8[0].astype(jnp.int32).astype(jnp.float32)
         gf = wu8[1].astype(jnp.int32).astype(jnp.float32)
         rf = wu8[2].astype(jnp.int32).astype(jnp.float32)

@@ -361,7 +361,6 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
         # so its extrema over the chunk are in the endpoint columns — no
         # (8, TW) reduction needed. Align DOWN from (min - 2): see
         # window_start for the coverage accounting.
-        csx_lo = jnp.min(jnp.minimum(csx[:, :1], csx[:, TW - 1:]))
         # The chunk column window: with VW == WIN_W (the current geometry)
         # it is exactly the tile window, i.e. cx0 = 0 (the clip range
         # [0, WIN_W - VW] is empty); the general alignment computation is
@@ -369,6 +368,7 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
         if VW == WIN_W:
             cx0 = 0
         else:
+            csx_lo = jnp.min(jnp.minimum(csx[:, :1], csx[:, TW - 1:]))
             cx0 = pl.multiple_of(
                 jnp.clip(
                     (csx_lo.astype(jnp.int32) - wx0 - 2) & ~127,
