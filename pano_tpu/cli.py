@@ -181,25 +181,28 @@ def run(
     argv = list(argv)
 
     def take_flag(name, allowed=None):
-        if name not in argv:
-            return None
-        i = argv.index(name)
-        if i + 1 >= len(argv):
-            print(f"Error: {name} requires a value", file=sys.stderr)
-            raise SystemExit(-1)
-        val = argv[i + 1]
-        del argv[i : i + 2]
-        if allowed and val not in allowed:
+        # Consume EVERY occurrence (last one wins, like argparse) so a
+        # repeated flag never leaks into the image-path positionals.
+        val = None
+        while name in argv:
+            i = argv.index(name)
+            if i + 1 >= len(argv):
+                print(f"Error: {name} requires a value", file=sys.stderr)
+                raise SystemExit(-1)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+        if val is not None and allowed and val not in allowed:
             print(f"Unknown {name}: {val} ({'|'.join(allowed)})",
                   file=sys.stderr)
             raise SystemExit(-1)
         return val
 
     def take_switch(name):
-        if name in argv:
+        seen = False
+        while name in argv:
             argv.remove(name)
-            return True
-        return False
+            seen = True
+        return seen
 
     _ONOFF = {"on": True, "off": False, "true": True, "false": False,
               "1": True, "0": False}
@@ -324,9 +327,7 @@ def run(
             n_dev = len(jax.devices())
             print(f"JAX backend: {jax.default_backend()}", flush=True)
             print(f"Number of Available Devices: {n_dev}", flush=True)
-        else:  # sharded
-            import jax
-
+        elif impl == "sharded":
             from pano_tpu.parallel.shard import stitch_all_images_sharded
 
             tag = "Sharded"
@@ -344,39 +345,23 @@ def run(
                 panorama = stitch_all_images_sharded(
                     reader.images, config, timing_tag=tag, mode=mode
                 )
-            if panorama is None:
-                print("Panoramic stitching failed!", file=sys.stderr)
-                if json_out:
-                    _write_json_stats(
-                        json_out, impl, mode, config, reader.output_file,
-                        None,
-                    )
-                return -1
-            imwrite_bgr(reader.output_file, panorama)
-            print(f"Stitched result saved to {reader.output_file}", flush=True)
-            print()
-            print_stage(f"Total Execution Time ({tag})", total.elapsed())
-            if json_out:
-                _write_json_stats(
-                    json_out, impl, mode, config, reader.output_file, panorama
-                )
-            return 0
 
-        if warmup:
-            # Same code path as the timed run (the staged/timed graphs
-            # differ from the fused ones); benchmark parsers take the LAST
-            # timing line, so the warmup's lines are harmless — but keep
-            # them out of the --json stages list.
-            stitch_all_images(
-                reader.images, config, timing_tag=tag, device=device,
-                mode=mode,
-            )
-            reset_stage_records()
-        with _maybe_profile():
-            panorama = stitch_all_images(
-                reader.images, config, timing_tag=tag, device=device,
-                mode=mode,
-            )
+        if impl != "sharded":
+            if warmup:
+                # Same code path as the timed run (the staged/timed graphs
+                # differ from the fused ones); benchmark parsers take the
+                # LAST timing line, so the warmup's lines are harmless —
+                # but keep them out of the --json stages list.
+                stitch_all_images(
+                    reader.images, config, timing_tag=tag, device=device,
+                    mode=mode,
+                )
+                reset_stage_records()
+            with _maybe_profile():
+                panorama = stitch_all_images(
+                    reader.images, config, timing_tag=tag, device=device,
+                    mode=mode,
+                )
 
     if panorama is None:
         print("Panoramic stitching failed!", file=sys.stderr)

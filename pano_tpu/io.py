@@ -79,8 +79,12 @@ def _load_native():
                     ctypes.c_int,
                 ]
                 return lib
-            except OSError:
-                return None
+            except (OSError, AttributeError):
+                # Unloadable .so, or a foreign library without the ph_*
+                # exports (AttributeError from the ctypes symbol lookup):
+                # keep scanning the remaining candidates rather than
+                # aborting, and never let import pano_tpu.io crash.
+                continue
     return None
 
 

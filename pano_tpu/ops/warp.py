@@ -90,6 +90,38 @@ def warp_corners(h: np.ndarray, img_h: int, img_w: int) -> np.ndarray:
     return warped[:, :2] / warped[:, 2:3]
 
 
+def warp_window_geometry(
+    m: np.ndarray,
+    img_h: int,
+    img_w: int,
+    pad_h: int,
+    pad_w: int,
+    bucket: int,
+    align: int = 1,
+) -> Tuple[int, int, int, int]:
+    """Host-side warp-window placement shared by every composite path:
+    the bucketed bbox of the warped image corners under `m`, +2 px bilinear
+    margin, clipped to the (pad_h, pad_w) canvas.
+
+    `align` (a power of two) additionally aligns the window ORIGIN down —
+    the pallas compose kernels' block-index mapping needs 128; the
+    XLA-epilogue paths use 1. pad/bucket must be multiples of `align` so
+    the final clamp preserves the alignment.
+
+    Returns (wx0, wy0, win_w, win_h)."""
+    corners = warp_corners(m, img_h, img_w)
+    wx0 = max(0, (int(np.floor(corners[:, 0].min())) - 2) & ~(align - 1))
+    wy0 = max(0, (int(np.floor(corners[:, 1].min())) - 2) & ~(align - 1))
+    wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
+    wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
+    round_up = lambda x, mm: ((x + mm - 1) // mm) * mm
+    win_w = min(round_up(max(wx1 - wx0, 1), bucket), pad_w)
+    win_h = min(round_up(max(wy1 - wy0, 1), bucket), pad_h)
+    wx0 = min(wx0, pad_w - win_w)
+    wy0 = min(wy0, pad_h - win_h)
+    return wx0, wy0, win_w, win_h
+
+
 def _inverse_map(
     h_inv: jnp.ndarray, out_h: int, out_w: int,
     off_x: jnp.ndarray, off_y: jnp.ndarray,

@@ -32,11 +32,12 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pano_tpu import pipeline
 from pano_tpu.config import DEFAULT_CONFIG, PanoConfig
 from pano_tpu.ops import harris as harris_ops
 from pano_tpu.ops import match as match_ops
 from pano_tpu.ops import ransac as ransac_ops
-from pano_tpu.timer import Timer, print_stage
+from pano_tpu.timer import Timer, force_sync, print_stage
 
 
 def make_mesh(
@@ -184,7 +185,7 @@ def fused_estimate_batched(
     """The single-dispatch fused estimation protocol (pipeline.PairStitcher.
     _fused_estimate_impl), batched and sharded over the 'data' mesh axis.
 
-    Returns (packed (B, 13) f32 on device, (pts_q, pts_t, valid) on device).
+    Returns (packed (B, 14) f32 on device, (pts_q, pts_t, valid) on device).
     Packed layout per pair matches the pipeline's fused protocol:
     [H.ravel() (9), inlier_count, num_matches, ok, match_count]. The caller
     fetches `packed` with ONE host round trip for the whole batch (each sync
@@ -205,6 +206,9 @@ def fused_estimate_batched(
                         res.num_matches.astype(jnp.float32),
                         res.ok.astype(jnp.float32),
                         jnp.sum(v.astype(jnp.float32)),  # match count
+                        jnp.float32(0.0),  # reserved — keeps the row layout
+                        #                    identical to the pipeline's
+                        #                    (14,) fused protocol
                     ]
                 ),
             ]
@@ -257,15 +261,9 @@ def composite_pairs_batched(
         m_inv = np.linalg.inv(m)
         pad_h = _r(ch, cfg.canvas_bucket)
         pad_w = _r(cw, cfg.canvas_bucket)
-        corners = warp_ops.warp_corners(m, hr, wr)
-        wx0 = max(0, int(np.floor(corners[:, 0].min())) - 2)
-        wy0 = max(0, int(np.floor(corners[:, 1].min())) - 2)
-        wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
-        wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
-        win_w = min(_r(max(wx1 - wx0, 1), cfg.canvas_bucket), pad_w)
-        win_h = min(_r(max(wy1 - wy0, 1), cfg.canvas_bucket), pad_h)
-        wx0 = min(wx0, pad_w - win_w)
-        wy0 = min(wy0, pad_h - win_h)
+        wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
+            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket
+        )
         key = (pad_h, pad_w, win_h, win_w)
         geo[b] = (m_inv, int(-mx), int(-my), wx0, wy0, ch, cw)
         groups.setdefault(key, []).append(b)
@@ -338,16 +336,32 @@ def match_descriptors_sharded(
     max_ssd_thresh: float,
     mesh: Mesh,
     axis: str = "data",
+    ratio_thresh: float = 0.0,
+    cross_check: bool = False,
 ) -> match_ops.Matches:
     """Row-sharded brute-force matching: each device owns K/n query rows and
     the full train set; results concatenate along the query axis with no
-    cross-device traffic (argmin is row-local)."""
+    cross-device traffic (argmin is row-local).
+
+    The Lowe ratio test is row-local too, so it shards exactly.
+    `cross_check` is rejected: mutual-nearest-neighbor verification needs
+    the train->query argmin over ALL query rows, but each shard sees only
+    its own — a per-shard cross check would silently compute the wrong
+    thing (it needs an argmin-reduce over the shard axis; use the local
+    matcher when cross-checking)."""
+    if cross_check:
+        raise ValueError(
+            "cross_check needs a global train->query argmin across query "
+            "shards; unsupported in the row-sharded matcher"
+        )
     n = mesh.shape[axis]
     if desc_q.shape[0] % n != 0:
         raise ValueError(f"query rows {desc_q.shape[0]} not divisible by {n}")
 
     def local(dq, vq, dt, vt):
-        return match_ops.match_descriptors(dq, vq, dt, vt, max_ssd_thresh)
+        return match_ops.match_descriptors(
+            dq, vq, dt, vt, max_ssd_thresh, ratio_thresh
+        )
 
     fn = jax.shard_map(
         local,
@@ -382,7 +396,6 @@ def stitch_all_images_chain_sharded(
     Heterogeneous image shapes can't batch — those fall back to the
     single-device chain (which still pipelines its dispatches).
     """
-    from pano_tpu import pipeline
 
     t = Timer()
     n = len(images)
@@ -681,28 +694,39 @@ class _ShardedPairStitcher:
             return None
 
         t_r = Timer()
-        res = jax.block_until_ready(self._sharded_search(pq, pt, v))
+        res = self._sharded_search(pq, pt, v)
+        force_sync(res.H)  # honest timing: block_until_ready does not
+        #                    block through the axon tunnel (CLAUDE.md)
         if s.print_timing:
-            tag = s.timing_tag
-            label = (
-                f"RANSAC Homography Estimation ({tag})"
-                if tag
-                else "RANSAC Homography Estimation"
+            print_stage(
+                pipeline._suffix("RANSAC Homography Estimation", s.timing_tag),
+                t_r.elapsed(),
             )
-            print_stage(label, t_r.elapsed())
 
-        if not bool(res.ok) and int(res.inlier_count) <= 0:
-            print(
-                "RANSAC failed to estimate a homography matrix!",
-                file=sys.stderr,
+        # Same fallback ladder as the local paths (pipeline
+        # interpret_fused_row): low-inlier gate -> OpenCV RANSAC on the
+        # match points (src/gpu/ransac.cu:499-511), else best-effort H if
+        # any inliers, else bail.
+        if bool(res.ok):
+            h = np.asarray(res.H, np.float64)
+        else:
+            h = s._opencv_fallback_h(
+                np.asarray(pq), np.asarray(pt), np.asarray(v)
             )
-            return None
-        canvas = s.composite(
-            left_dev, right_dev, np.asarray(res.H, np.float64)
-        )
-        canvas = jax.block_until_ready(canvas)
+            if h is None:
+                if int(res.inlier_count) > 0:
+                    h = np.asarray(res.H, np.float64)
+                else:
+                    print(
+                        "RANSAC failed to estimate a homography matrix!",
+                        file=sys.stderr,
+                    )
+                    return None
+        canvas = s.composite(left_dev, right_dev, h)
+        force_sync(canvas)
         if s.print_timing:
-            tag = s.timing_tag
-            label = f"Image Stitching ({tag})" if tag else "Image Stitching"
-            print_stage(label, t.elapsed())
+            print_stage(
+                pipeline._suffix("Image Stitching", s.timing_tag),
+                t.elapsed(),
+            )
         return canvas

@@ -552,18 +552,9 @@ class PairStitcher:
         # Warp window: bbox of the warped right corners in canvas coords,
         # +2 px bilinear margin, clipped to the padded canvas, bucketed.
         hr, wr = right_dev.shape[:2]
-        corners = warp_ops.warp_corners(m, hr, wr)
-        wx0 = max(0, int(np.floor(corners[:, 0].min())) - 2)
-        wy0 = max(0, int(np.floor(corners[:, 1].min())) - 2)
-        wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
-        wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
-        win_w = _round_up(max(wx1 - wx0, 1), cfg.canvas_bucket)
-        win_h = _round_up(max(wy1 - wy0, 1), cfg.canvas_bucket)
-        win_w = min(win_w, pad_w)
-        win_h = min(win_h, pad_h)
-        # Keep the window inside the canvas after bucketing.
-        wx0 = min(wx0, pad_w - win_w)
-        wy0 = min(wy0, pad_h - win_h)
+        wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
+            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket
+        )
 
         # Fast path: Pallas 2-pass warp kernel (TPU only, in-envelope H).
         if (
@@ -930,18 +921,11 @@ def composite_global(
         m = t_mat @ globals_h[i]
         m_inv = np.linalg.inv(m)
         hr, wr = images[i].shape[:2]
-        corners = warp_ops.warp_corners(m, hr, wr)
         # Window origin aligned DOWN to the 128-px canvas tile (the chain
-        # compose kernel's block-index mapping needs it; window sizes are
-        # already 128-multiples).
-        wx0 = max(0, (int(np.floor(corners[:, 0].min())) - 2) & ~127)
-        wy0 = max(0, (int(np.floor(corners[:, 1].min())) - 2) & ~127)
-        wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
-        wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
-        win_w = min(_round_up(max(wx1 - wx0, 1), cfg.canvas_bucket), pad_w)
-        win_h = min(_round_up(max(wy1 - wy0, 1), cfg.canvas_bucket), pad_h)
-        wx0 = min(wx0, pad_w - win_w)
-        wy0 = min(wy0, pad_h - win_h)
+        # compose kernel's block-index mapping needs it).
+        wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
+            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=128
+        )
 
         if (
             cfg.use_pallas_warp

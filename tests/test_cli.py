@@ -55,6 +55,23 @@ def test_bad_enum_value_rejected():
         cli.run("serial", ["--topk", "sorta", "x.jpg", "y.jpg"])
 
 
+def test_repeated_flag_last_wins(scene_dir, tmp_path):
+    """A repeated flag must not leak into the image-path positionals;
+    the last occurrence wins (argparse semantics)."""
+    out = str(tmp_path / "pano.jpg")
+    stats = str(tmp_path / "stats.json")
+    rc = cli.run(
+        "serial",
+        [
+            "--dir", scene_dir, "--out", out,
+            "--mode", "fold", "--mode", "chain",
+            "--json", stats,
+        ],
+    )
+    assert rc == 0
+    assert json.load(open(stats))["mode"] == "chain"
+
+
 def test_end_to_end_serial_with_full_flag_surface(scene_dir, tmp_path):
     """A real run exercising the whole hyperparameter surface + --json."""
     out = str(tmp_path / "pano.jpg")

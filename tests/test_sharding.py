@@ -154,7 +154,7 @@ def test_fused_estimate_batched_packed_protocol():
     lefts, rights = make_pair_batch(8)
     packed, pts = shard.fused_estimate_batched(lefts, rights, SMALL, mesh)
     v = np.asarray(packed)                  # one fetch for the whole batch
-    assert v.shape == (8, 13)
+    assert v.shape == (8, 14)
     assert (v[:, 11] > 0.5).all()           # ok flag
     assert (v[:, 12] > 8).all()             # match counts
     hs = v[:, :9].reshape(8, 3, 3)
