@@ -85,7 +85,10 @@ def extract_patch_descriptors(
     # element per patch pixel instead of a u8[...,3] row, and no
     # channel-minor relayout copy of the image feeding the gather
     # (measured marginally faster than the u8 row gather in-graph, and
-    # much faster than 2-D advanced indexing or slice-gathers).
+    # much faster than 2-D advanced indexing or slice-gathers). Compile
+    # time over the ~13M-element flat operand is fine: 16.5 s cold for a
+    # fresh 3000x3800 shape on v5e incl. the tunnel round trips — the
+    # CLAUDE.md minutes-long jnp.take trap does not hit this formulation.
     p32 = img_u8.astype(jnp.int32)
     pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
     idx = (ys[:, :, None] * w + xs[:, None, :]).reshape(k_cap, -1)

@@ -86,9 +86,10 @@ def _compose_kernel(
     sref,          # (4,) i32: [ty_blk, tx_blk, wy_blk, wx_blk]
     left_ref,      # (3, BT, BT) u8 block of the left image (clamped index)
     rgb_ref,       # (BT, BT) s32 block of the packed warped window
-    w_ref,         # (BT, BT) f32 block of the warped weight (feather only)
-    out_ref,       # (3, BT, BT) u8 canvas block
-    *,
+    *w_and_out,    # feather: (w_ref, out_ref); overlay: (out_ref,) — the
+    #                weight input is omitted entirely for overlay (it never
+    #                reads it; streaming a zeros window would be dead HBM
+    #                traffic on the hot fused path)
     blend: str,
     hl: int,
     wl: int,
@@ -97,6 +98,10 @@ def _compose_kernel(
     nwb_y: int,    # win_h // BT — window block extents
     nwb_x: int,
 ):
+    if blend == "overlay":
+        w_ref, (out_ref,) = None, w_and_out
+    else:
+        w_ref, out_ref = w_and_out
     gi = pl.program_id(0)
     gj = pl.program_id(1)
     ty_b, tx_b = sref[0], sref[1]
@@ -133,19 +138,22 @@ def _compose_kernel(
     def _inside():
         rgb = rgb_ref[...]
         if blend == "overlay":
-            w_l = None
+            w_l = w_r = None
         else:
             # Analytic left feather weight: the edge-distance ramp
             # (ops/warp._edge_ramp) masked by coverage and nonblack pixels.
             nb_l = (base[0] | base[1] | base[2]) != 0
             lyf = ly.astype(jnp.float32)
             lxf = lx.astype(jnp.float32)
+            # Same division as _edge_ramp (not a reciprocal multiply) so
+            # the ramp is bit-identical to the XLA path's.
             ramp = jnp.minimum(
                 jnp.minimum(lxf + 1.0, wl - lxf),
                 jnp.minimum(lyf + 1.0, hl - lyf),
-            ) * (1.0 / (min(hl, wl) / 2.0))
+            ) / (min(hl, wl) / 2.0)
             w_l = jnp.where(left_px & nb_l, ramp, 0.0)
-        out_ref[...] = _blend_tile(base, w_l, rgb, w_ref[...], blend)
+            w_r = w_ref[...]
+        out_ref[...] = _blend_tile(base, w_l, rgb, w_r, blend)
 
 
 def _compose_chain_kernel(
@@ -272,8 +280,6 @@ def compose_canvas(
         raise ValueError(f"unsupported pallas blend: {blend}")
     if blend == "feather" and w_win is None:
         raise ValueError("feather blend needs w_win")
-    if w_win is None:
-        w_win = jnp.zeros((win_h, win_w), jnp.float32)
 
     # (hl, wl, 3) u8 lives as {1,0,2} (planar) on TPU, so this transpose to
     # the pallas-friendly (3, hl, wl) is a layout bitcast, not a copy.
@@ -310,21 +316,25 @@ def compose_canvas(
         nwb_y=win_h // BT,
         nwb_x=win_w // BT,
     )
+    in_specs = [
+        pl.BlockSpec((3, BT, BT), left_map),
+        pl.BlockSpec((BT, BT), win_map),
+    ]
+    operands = [scalars, left_chw, rgb_win]
+    if blend != "overlay":  # overlay never reads the weight input
+        in_specs.append(pl.BlockSpec((BT, BT), win_map))
+        operands.append(w_win)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((3, BT, BT), left_map),
-                pl.BlockSpec((BT, BT), win_map),
-                pl.BlockSpec((BT, BT), win_map),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (3, BT, BT), lambda gi, gj, s: (0, gi, gj)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.uint8),
-    )(scalars, left_chw, rgb_win, w_win)
+    )(*operands)
     # Back to HWC — again a layout bitcast on TPU.
     return jnp.transpose(out, (1, 2, 0))

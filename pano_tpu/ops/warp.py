@@ -42,6 +42,10 @@ import numpy as np
 from jax import lax
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def compute_canvas_geometry(
     h_right_to_left: np.ndarray,
     left_shape: Tuple[int, int],
@@ -114,9 +118,8 @@ def warp_window_geometry(
     wy0 = max(0, (int(np.floor(corners[:, 1].min())) - 2) & ~(align - 1))
     wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
     wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
-    round_up = lambda x, mm: ((x + mm - 1) // mm) * mm
-    win_w = min(round_up(max(wx1 - wx0, 1), bucket), pad_w)
-    win_h = min(round_up(max(wy1 - wy0, 1), bucket), pad_h)
+    win_w = min(_round_up(max(wx1 - wx0, 1), bucket), pad_w)
+    win_h = min(_round_up(max(wy1 - wy0, 1), bucket), pad_h)
     wx0 = min(wx0, pad_w - win_w)
     wy0 = min(wy0, pad_h - win_h)
     return wx0, wy0, win_w, win_h

@@ -403,6 +403,9 @@ class PairStitcher:
             cfg.use_pallas_warp
             and plat == "tpu"
             and cfg.blend in ("overlay", "feather", "multiband")
+            # Every pallas path (warp windows, compose tiles) needs
+            # 128-multiple canvas buckets; other buckets take the XLA path.
+            and cfg.canvas_bucket % 128 == 0
         ):
             return self.stitch_pair(left_dev, right_dev)
 
@@ -561,6 +564,7 @@ class PairStitcher:
             cfg.use_pallas_warp
             and jax.default_backend() == "tpu"
             and cfg.blend in ("overlay", "feather", "multiband")
+            and cfg.canvas_bucket % 128 == 0
             and pallas_warp.supports_homography(
                 m_inv, win_h, win_w, off_x=wx0, off_y=wy0
             )
@@ -931,6 +935,7 @@ def composite_global(
             cfg.use_pallas_warp
             and jax.default_backend() == "tpu"
             and cfg.blend in ("overlay", "feather", "multiband")
+            and cfg.canvas_bucket % 128 == 0
             and pallas_warp.supports_homography(
                 m_inv, win_h, win_w, off_x=wx0, off_y=wy0
             )

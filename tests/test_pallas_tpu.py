@@ -223,3 +223,30 @@ def test_compose_canvas_vs_xla_epilogue_on_tpu():
         else:
             d = np.abs(got.astype(int) - oracle.astype(int))
             assert d.max() <= 1, d.max()
+
+
+def test_warp_no_alpha_overlay_path_on_tpu(img):
+    """has_alpha=False (production overlay default) under the REAL Mosaic
+    lowering: pixels within requantization tolerance of the XLA warp and
+    the EXACT analytic border weight."""
+    from pano_tpu.ops import pallas_warp as PW
+    from pano_tpu.ops import warp as W
+
+    m = np.eye(3)
+    m[0, 2], m[1, 2] = 17.5, 6.25
+    m_inv = np.linalg.inv(m)
+    packed = PW.pack_bgra(jnp.asarray(img), None)
+    params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
+    rgb, w = PW.warp_packed(packed, params, 256, 384, has_alpha=False)
+    out = np.asarray(PW.unpack_rgb(rgb))
+    w = np.asarray(w)
+
+    sx, sy = W._inverse_map(
+        jnp.asarray(m_inv, jnp.float32), 256, 384,
+        jnp.asarray(0.0), jnp.asarray(0.0),
+    )
+    ref_rgb, ref_w = jax.jit(W._bilinear_sample_u8)(jnp.asarray(img), sx, sy)
+    ref = np.clip(np.round(np.asarray(ref_rgb)), 0, 255).astype(np.uint8)
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 2
+    np.testing.assert_allclose(w, np.asarray(ref_w), atol=1e-4)

@@ -103,3 +103,30 @@ def test_supports_homography_rejects_extreme():
         ]
     )
     assert not PW.supports_homography(rot, 512, 512)
+
+
+def test_no_alpha_overlay_path_matches_xla(img):
+    """has_alpha=False — the production default (overlay blend) — must
+    reproduce the XLA warp's pixels AND its exact analytic border weight
+    (the summed in-bounds bilinear weight from _bilinear_sample_u8)."""
+    m = np.eye(3)
+    m[0, 2], m[1, 2] = 17.5, 6.25
+    m_inv = np.linalg.inv(m)
+    packed = PW.pack_bgra(jnp.asarray(img), None)
+    params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
+    with pltpu.force_tpu_interpret_mode():
+        rgb, w = PW.warp_packed(packed, params, 256, 384, has_alpha=False)
+    out = np.asarray(PW.unpack_rgb(rgb))
+    w = np.asarray(w)
+
+    import jax
+
+    sx, sy = W._inverse_map(
+        jnp.asarray(m_inv, jnp.float32), 256, 384,
+        jnp.asarray(0.0), jnp.asarray(0.0),
+    )
+    ref_rgb, ref_w = jax.jit(W._bilinear_sample_u8)(jnp.asarray(img), sx, sy)
+    ref = np.clip(np.round(np.asarray(ref_rgb)), 0, 255).astype(np.uint8)
+    d = np.abs(out.astype(int) - ref.astype(int))
+    assert d.max() <= 2  # rounding + inter-pass u8 requantization
+    np.testing.assert_allclose(w, np.asarray(ref_w), atol=1e-5)
