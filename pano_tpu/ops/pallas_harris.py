@@ -235,7 +235,7 @@ def harris_scores(
     return pl.pallas_call(
         _make_kernel(h, w, float(k), float(nms_thresh), nti, ntj),
         grid=(nti, ntj),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),

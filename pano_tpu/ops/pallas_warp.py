@@ -544,7 +544,7 @@ def warp_packed(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
                              memory_space=pltpu.VMEM),

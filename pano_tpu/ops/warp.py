@@ -113,6 +113,10 @@ def warp_window_geometry(
     the final clamp preserves the alignment.
 
     Returns (wx0, wy0, win_w, win_h)."""
+    assert pad_h % align == 0 and pad_w % align == 0 and bucket % align == 0, (
+        f"pad/bucket must be multiples of align={align}: "
+        f"{(pad_h, pad_w, bucket)}"
+    )
     corners = warp_corners(m, img_h, img_w)
     wx0 = max(0, (int(np.floor(corners[:, 0].min())) - 2) & ~(align - 1))
     wy0 = max(0, (int(np.floor(corners[:, 1].min())) - 2) & ~(align - 1))
@@ -230,6 +234,36 @@ def _edge_ramp(h: int, w: int) -> jnp.ndarray:
         jnp.minimum(xs + 1.0, w - xs), jnp.minimum(ys + 1.0, h - ys)
     )
     return d / jnp.asarray(min(h, w) / 2.0, jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("img_h", "img_w", "win_h", "win_w")
+)
+def warp_weight_window(
+    h_inv: jnp.ndarray,         # (3, 3) f32 — inverse of T @ H
+    win_x: jnp.ndarray,         # () int32 window origin
+    win_y: jnp.ndarray,
+    img_h: int,                 # source image dims
+    img_w: int,
+    win_h: int,                 # static window dims
+    win_w: int,
+) -> jnp.ndarray:
+    """Feather weight of a warped image over a canvas window: the edge ramp
+    sampled through the inverse map, masked by in-bounds coverage — the same
+    (quantized-ramp) math warp_and_blend's feather branch computes
+    internally. Lets chain compositing keep its accumulated weight canvas
+    exact when a step takes the XLA fallback path (which cannot return its
+    weights), so later Pallas compose steps feather against real coverage.
+    """
+    sx, sy = _inverse_map(
+        h_inv, win_h, win_w,
+        win_x.astype(jnp.float32), win_y.astype(jnp.float32),
+    )
+    ramp = _edge_ramp(img_h, img_w)
+    w_map, w_inb = _bilinear_sample_u8(
+        (ramp[..., None] * 255.0).astype(jnp.uint8), sx, sy
+    )
+    return (w_map[..., 0] / 255.0) * w_inb
 
 
 def _estimate_gain(

@@ -251,8 +251,10 @@ class PairStitcher:
         # the composite (left placement + window write-back) tile-aligned —
         # measured ~10x faster than arbitrary offsets, which force
         # read-modify-write lane/sublane shifts on every destination tile.
-        # The true panorama then starts at (crop_y, crop_x) in [0,8)x[0,128)
-        # instead of (0, 0); the host crop (stitch_pair_fast) absorbs it.
+        # The true panorama then starts at (crop_y, crop_x) in
+        # [0,128)x[0,128) instead of (0, 0) — ty is rounded to 128 (not 8)
+        # because the compose kernel's BT grid needs it; the host crop
+        # (stitch_pair_fast) absorbs it.
         # Bonus: the integer translation registers the left placement and
         # the warp EXACTLY (the old float translation left a sub-pixel
         # offset between them).
@@ -867,12 +869,16 @@ def composite_global(
     globals_h: List[Optional[np.ndarray]],
     config: PanoConfig,
     anchor: int = 0,
+    _weights_out: Optional[list] = None,
 ) -> Optional[np.ndarray]:
     """Composite images onto one globally-sized canvas.
 
     globals_h[i] maps image i into the anchor image's frame (None = excluded;
     globals_h[anchor] must be identity). Shared by chain mode and the
     unordered (all-pairs spanning tree) mode.
+
+    `_weights_out` (tests only): a list that receives the final accumulated
+    weight canvas, cropped to the true panorama.
     """
     cfg = config.stitch
     n = len(images)
@@ -926,9 +932,12 @@ def composite_global(
         m_inv = np.linalg.inv(m)
         hr, wr = images[i].shape[:2]
         # Window origin aligned DOWN to the 128-px canvas tile (the chain
-        # compose kernel's block-index mapping needs it).
+        # compose kernel's block-index mapping needs it). Alignment is only
+        # legal when pad/bucket are 128-multiples (warp_window_geometry's
+        # precondition); other buckets take the XLA path, which needs none.
+        align = 128 if cfg.canvas_bucket % 128 == 0 else 1
         wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
-            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=128
+            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=align
         )
 
         if (
@@ -1011,7 +1020,30 @@ def composite_global(
                 gain=cfg.gain_compensation,
             )
             # The XLA fallback derives left weights from nonblack coverage
-            # internally; the weight canvas keeps its previous state (the
-            # next pallas step still sees all earlier pallas coverage).
+            # internally and cannot return its own warped weights — but the
+            # accumulated weight canvas must still record this image's
+            # coverage, or a later Pallas step would feather against
+            # coverage that ignores it (mis-placed seams in mixed chains).
+            w_r = warp_ops.warp_weight_window(
+                jnp.asarray(m_inv, jnp.float32),
+                jnp.asarray(wx0, jnp.int32),
+                jnp.asarray(wy0, jnp.int32),
+                hr,
+                wr,
+                win_h,
+                win_w,
+            )
+            w_slice = jax.lax.dynamic_slice(
+                weight_canvas,
+                (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
+                (win_h, win_w),
+            )
+            weight_canvas = jax.lax.dynamic_update_slice(
+                weight_canvas,
+                jnp.maximum(w_slice, w_r),
+                (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
+            )
 
+    if _weights_out is not None:
+        _weights_out.append(np.asarray(weight_canvas[:canvas_h, :canvas_w]))
     return np.asarray(canvas[:canvas_h, :canvas_w])

@@ -273,3 +273,44 @@ def test_timing_lines_contract(capsys):
         "Image Stitching",
     ):
         assert re.search(rf"^{label}: \d+\.\d{{3}} ms$", out, re.M), label
+
+
+def test_composite_global_weight_canvas_tracks_xla_steps():
+    """The XLA fallback branch of composite_global must still record the
+    composited image's coverage in the accumulated weight canvas — a later
+    Pallas step feathers against it, and stale weights mis-place seams
+    (on CPU every step takes the XLA branch, exercising exactly that
+    update)."""
+    from pano_tpu import pipeline
+
+    base = checkerboard_texture(128, 360, seed=11)
+    imgs = [
+        np.asarray(base[:, 0:160]),
+        np.asarray(base[:, 120:280]),
+        np.asarray(base[:, 200:360]),
+    ]
+    # Exact global translations: image i content starts at x = offset_i in
+    # the anchor frame.
+    offs = [0.0, 120.0, 200.0]
+    globals_h = []
+    for off in offs:
+        h = np.eye(3)
+        h[0, 2] = off
+        globals_h.append(h)
+    devs = [jnp.asarray(im, jnp.uint8) for im in imgs]
+    cfg = SMALL.replace(
+        stitch=__import__("dataclasses").replace(SMALL.stitch, blend="feather")
+    )
+    weights = []
+    pano = pipeline.composite_global(
+        imgs, devs, globals_h, cfg, anchor=0, _weights_out=weights
+    )
+    assert pano is not None and pano.shape[1] >= 355
+    w = weights[0]
+    # Coverage must extend through every image's region, including the
+    # XLA-composited non-anchor ones (x in [280, 360) is image 3 only).
+    assert w[64, 80] > 0.0       # anchor region
+    assert w[64, 250] > 0.0      # image 2 region (XLA branch)
+    assert w[64, 340] > 0.0      # image 3-only region (XLA branch)
+    # And unreachable canvas must stay uncovered.
+    assert w[64, : 160].min() > 0.0

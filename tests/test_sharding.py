@@ -47,7 +47,7 @@ def test_estimate_homographies_batched_data_parallel():
     mesh = shard.make_mesh(n_data=8, n_hyp=1)
     lefts, rights = make_pair_batch(8)
     hs, counts, ok = shard.estimate_homographies_batched(
-        lefts, rights, SMALL, mesh.__enter__() if False else mesh
+        lefts, rights, SMALL, mesh
     )
     hs = np.asarray(hs)
     assert hs.shape == (8, 3, 3)
