@@ -12,7 +12,7 @@ path: ~3.3 ms of the 4K pair stitch for what is ~260 MB of HBM traffic
 
 This kernel replaces all of it with ONE grid pass over the padded canvas.
 The enabler is the tile-aligned frame layout established by
-pipeline._fused_stitch_impl: the left placement (ty, tx) and the warp
+pipeline._fused_compose_impl: the left placement (ty, tx) and the warp
 window origin (wy0, wx0) are all multiples of the 128-px canvas tile, so
 every input block maps onto an output block through a pure block-index
 shift (scalar-prefetch index_maps) — no halos, no manual DMA, and Pallas's
@@ -45,7 +45,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BT = 128  # canvas tile (must match the alignment in pipeline._fused_stitch_impl)
+BT = 128  # canvas tile (must match the alignment in pipeline._fused_compose_impl)
 
 
 def _blend_tile(base, w_l, rgb, w_r, blend):

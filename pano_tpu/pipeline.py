@@ -51,6 +51,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _host_fetch(x) -> np.ndarray:
+    """Device -> host fetch (one tunnel round trip). A named indirection so
+    tests can count exactly how many syncs a code path pays — each costs
+    30-85 ms through the axon tunnel (CLAUDE.md), so sync count IS the
+    performance contract for the multi-image paths."""
+    return np.asarray(x)
+
+
 def _platform_config(
     config: PanoConfig, device: Optional[jax.Device]
 ) -> PanoConfig:
@@ -199,22 +207,63 @@ class PairStitcher:
     # tries tier 0, re-dispatches tier 1 if the in-graph coverage check
     # fails, and only then falls back to the exact staged path.
     # (scale, height margin, width margin): both margins carry an extra 128
-    # so the tile-aligned window origin (see _fused_stitch_impl) still
+    # so the tile-aligned window origin (see _fused_compose_impl) still
     # covers the warped extent.
     _WIN_TIERS = ((1.02, 160, 160), (1.1, 428, 428))
 
-    def _fused_stitch(self, tier: int = 0):
+    def _pack_src(self):
+        """Jitted pack_bgra for the fused path, cached per instance: the
+        packed BGRA source is built ONCE per pair and reused by every
+        compose tier (previously each tier attempt re-ran the pad)."""
+        if "_pack_src_jit" not in self.__dict__:
+            use_alpha = self.config.stitch.blend in ("feather", "multiband")
+
+            def pack(right):
+                hr, wr = right.shape[:2]
+                alpha = warp_ops._edge_ramp(hr, wr) if use_alpha else None
+                return pallas_warp.pack_bgra(right, alpha)
+
+            self._pack_src_jit = jax.jit(pack)
+        return self._pack_src_jit
+
+    def _fused_compose(self, tier: int, hr: int, wr: int):
         # Per-instance cache (an lru_cache on the bound method would pin
         # every PairStitcher + its compiled executables forever).
-        cache = self.__dict__.setdefault("_fused_stitch_cache", {})
-        if tier not in cache:
-            cache[tier] = jax.jit(
-                functools.partial(self._fused_stitch_impl, _tier=tier)
+        cache = self.__dict__.setdefault("_fused_compose_cache", {})
+        key = (tier, hr, wr)
+        if key not in cache:
+            cache[key] = jax.jit(
+                functools.partial(
+                    self._fused_compose_impl, _tier=tier, hr=hr, wr=wr
+                )
             )
-        return cache[tier]
+        return cache[key]
 
-    def _fused_stitch_impl(self, left, right, _tier: int = 0):
-        """The WHOLE pair stitch as one XLA dispatch.
+    def _fused_stitch(self, tier: int = 0):
+        """Estimate + pack + compose for one tier — the full fused pair
+        stitch. The pieces are separate dispatches (pipelined, still ONE
+        host sync at the caller's fetch): splitting estimation from
+        compositing lets a tier-1 retry reuse the tier-0 estimate instead
+        of re-running detect x2 + match + RANSAC (the most expensive work).
+        """
+
+        def run(left, right):
+            packed, pts = self._fused_estimate(left, right)
+            packed_src = self._pack_src()(right)
+            hr, wr = right.shape[:2]
+            packed_out, canvas = self._fused_compose(tier, hr, wr)(
+                left, packed_src, packed
+            )
+            return packed_out, canvas, pts
+
+        return run
+
+    def _fused_compose_impl(
+        self, left, packed_src, est_packed, _tier: int, hr: int, wr: int
+    ):
+        """Canvas geometry + warp + composite as one XLA dispatch, given a
+        fused-protocol estimate row (est_packed, from _fused_estimate) and
+        the pre-packed BGRA source.
 
         Canvas geometry (warped corners, translation, canvas bounds, warp
         window origin) moves onto the device, the warp runs into a
@@ -225,11 +274,10 @@ class PairStitcher:
         two (each costs 30-60 ms through the axon tunnel).
         """
         cfg = self.config.stitch
-        packed, pts = self._fused_estimate_impl(left, right)
+        packed = est_packed
         h = packed[:9].reshape(3, 3)
 
         hl, wl = left.shape[:2]
-        hr, wr = right.shape[:2]
 
         # Warped right corners (device f64-free: f32 is plenty for bounds).
         cs = jnp.array(
@@ -332,17 +380,99 @@ class PairStitcher:
             & pallas_warp.envelope_ok_device(m_inv, wx0, wy0, win_h, win_w)
         )
 
-        alpha = None
-        if cfg.blend in ("feather", "multiband"):
-            alpha = warp_ops._edge_ramp(hr, wr)
-        packed_src = pallas_warp.pack_bgra(right, alpha)
+        has_alpha = cfg.blend in ("feather", "multiband")
         params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
         rgb_win, w_win = pallas_warp.warp_packed(
-            packed_src, params, win_h, win_w, has_alpha=alpha is not None
+            packed_src, params, win_h, win_w, has_alpha=has_alpha
         )
-        if cfg.blend in ("overlay", "feather") and not cfg.gain_compensation:
-            # One-pass pallas composite (the aligned ty/tx/wy0/wx0 above are
-            # its contract); multiband/gain need the XLA epilogue.
+
+        # Every blend mode runs the ONE-PASS pallas composite (the aligned
+        # ty/tx/wy0/wx0 above are its contract). Gain and multiband need
+        # window-local context first — the left image's pixels and feather
+        # weight over the window — computed with tile-ALIGNED slices (the
+        # cheap path; the old XLA epilogue paid three unaligned canvas-size
+        # passes for this).
+        if cfg.blend == "multiband" or cfg.gain_compensation:
+            canvas_left = jnp.zeros((pad_h, pad_w, 3), jnp.uint8)
+            canvas_left = jax.lax.dynamic_update_slice(
+                canvas_left, left, (ty, tx, jnp.asarray(0, jnp.int32))
+            )
+            left_win = jax.lax.dynamic_slice(
+                canvas_left, (wy0, wx0, jnp.asarray(0, jnp.int32)),
+                (win_h, win_w, 3),
+            )
+            # Analytic left feather weight over the window: the edge ramp
+            # evaluated at left-image coords (no canvas-size weight pass).
+            lyw = (
+                jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 0)
+                + (wy0 - ty)
+            )
+            lxw = (
+                jax.lax.broadcasted_iota(jnp.int32, (win_h, win_w), 1)
+                + (wx0 - tx)
+            )
+            in_left = (lyw >= 0) & (lyw < hl) & (lxw >= 0) & (lxw < wl)
+            ramp = jnp.minimum(
+                jnp.minimum(
+                    lxw.astype(jnp.float32) + 1.0, wl - lxw.astype(jnp.float32)
+                ),
+                jnp.minimum(
+                    lyw.astype(jnp.float32) + 1.0, hl - lyw.astype(jnp.float32)
+                ),
+            ) / (min(hl, wl) / 2.0)
+            nonblack_l = jnp.any(left_win != 0, axis=-1)
+            w_l = jnp.where(in_left & nonblack_l, ramp, 0.0)
+
+            right_f = jnp.stack(
+                [
+                    (rgb_win & 0xFF).astype(jnp.float32),
+                    ((rgb_win >> 8) & 0xFF).astype(jnp.float32),
+                    ((rgb_win >> 16) & 0xFF).astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            if cfg.gain_compensation:
+                overlap = (w_l > 0.05) & (w_win > 0.05)
+                g = warp_ops._estimate_gain(
+                    left_win.astype(jnp.float32), right_f, overlap
+                )
+                right_f = jnp.clip(jnp.round(right_f * g), 0, 255)
+
+            if cfg.blend == "multiband":
+                win_out = warp_ops._multiband_compose(
+                    left_win.astype(jnp.float32), right_f, w_l, w_win
+                ).astype(jnp.int32)
+            else:
+                win_out = right_f.astype(jnp.int32)
+            packed_win = (
+                win_out[..., 0] | (win_out[..., 1] << 8)
+                | (win_out[..., 2] << 16)
+            )
+            if cfg.blend != "multiband":
+                # Preserve overlay's pre-gain nonblack semantics: a nonblack
+                # warped pixel that gain-scales to 0 must stay nonblack.
+                packed_win = jnp.where(
+                    (rgb_win != 0) & (packed_win == 0), 1, packed_win
+                )
+            # Multiband windows paste via overlay semantics: win_out is
+            # nonblack exactly where the window has ANY coverage (left or
+            # right), so nonblack-overwrite == paste-where-covered.
+            compose_blend = (
+                "overlay" if cfg.blend == "multiband" else cfg.blend
+            )
+            canvas = pallas_compose.compose_canvas(
+                left,
+                packed_win,
+                w_win if compose_blend == "feather" else None,
+                ty,
+                tx,
+                wy0,
+                wx0,
+                pad_h,
+                pad_w,
+                compose_blend,
+            )
+        else:
             canvas = pallas_compose.compose_canvas(
                 left,
                 rgb_win,
@@ -354,22 +484,6 @@ class PairStitcher:
                 pad_h,
                 pad_w,
                 cfg.blend,
-            )
-        else:
-            canvas, _ = warp_ops.blend_window_outputs(
-                left,
-                rgb_win,
-                w_win,
-                tx,
-                ty,
-                wx0,
-                wy0,
-                pad_h,
-                pad_w,
-                win_h,
-                win_w,
-                cfg.blend,
-                gain=cfg.gain_compensation,
             )
 
         packed_out = jnp.concatenate(
@@ -388,14 +502,18 @@ class PairStitcher:
                 ),
             ]
         )
-        return packed_out, canvas, pts
+        return packed_out, canvas
 
     def stitch_pair_fast(
-        self, left_dev: jnp.ndarray, right_dev: jnp.ndarray
+        self, left_dev: jnp.ndarray, right_dev: jnp.ndarray,
+        _assume_tpu: bool = False,
     ) -> Optional[jnp.ndarray]:
-        """Single-sync pair stitch (TPU + pallas only); falls back to the
-        two-sync staged path when RANSAC fails the gate or the homography
-        leaves the kernel envelope."""
+        """Single-sync pair stitch (TPU + pallas only); reuses the on-device
+        estimate for the staged-composite fallback when RANSAC fails the
+        gate or the homography leaves the kernel envelope.
+
+        `_assume_tpu` (tests only) skips the platform gate so interpret-mode
+        CPU tests can drive the fused control flow."""
         cfg = self.config.stitch
         try:
             plat = next(iter(left_dev.devices())).platform
@@ -403,7 +521,7 @@ class PairStitcher:
             plat = jax.default_backend()
         if not (
             cfg.use_pallas_warp
-            and plat == "tpu"
+            and (plat == "tpu" or _assume_tpu)
             and cfg.blend in ("overlay", "feather", "multiband")
             # Every pallas path (warp windows, compose tiles) needs
             # 128-multiple canvas buckets; other buckets take the XLA path.
@@ -411,22 +529,22 @@ class PairStitcher:
         ):
             return self.stitch_pair(left_dev, right_dev)
 
+        # Estimate ONCE; every tier attempt and the staged fallback reuse
+        # the on-device estimate (a tier-0 coverage miss used to re-run
+        # detect x2 + match + RANSAC — the most expensive work — per tier).
+        est_packed, pts = self._fused_estimate(left_dev, right_dev)
+        packed_src = self._pack_src()(right_dev)
+        hr, wr = right_dev.shape[:2]
+        v = None
         for tier in range(len(self._WIN_TIERS)):
-            packed_out, canvas, _ = self._fused_stitch(tier)(
-                left_dev, right_dev
+            packed_out, canvas = self._fused_compose(tier, hr, wr)(
+                left_dev, packed_src, est_packed
             )
-            v = np.asarray(packed_out)      # ONE host sync per attempt
+            v = _host_fetch(packed_out)     # ONE host sync per attempt
             ok = v[11] > 0.5
-            match_count = int(v[12])
             safe = v[18] > 0.5
             if not ok:
-                if match_count == 0:
-                    print(
-                        "Not enough matched corners for stitching!",
-                        file=sys.stderr,
-                    )
-                    return None
-                return self.stitch_pair(left_dev, right_dev)
+                break  # shared fallback ladder below (no re-estimation)
             if safe:
                 canvas_h = int(v[16])
                 canvas_w = int(v[17])
@@ -436,7 +554,16 @@ class PairStitcher:
                     crop_y:crop_y + canvas_h, crop_x:crop_x + canvas_w
                 ]
             # Coverage/envelope failed at this tier: widen the window.
-        return self.stitch_pair(left_dev, right_dev)
+
+        # Exact staged COMPOSITE fallback, reusing the existing estimate via
+        # the shared fused-protocol ladder (match-count bail, low-inlier
+        # OpenCV fallback on the lazily-fetched points, best-effort H).
+        h = self.interpret_fused_row(
+            v, lambda: tuple(np.asarray(a) for a in pts)
+        )
+        if h is None:
+            return None
+        return self.composite(left_dev, right_dev, h)
 
     # --- pair stitch -------------------------------------------------------
 
@@ -492,7 +619,7 @@ class PairStitcher:
     def _finish_fused_estimate(self, packed_dev, pts) -> Optional[np.ndarray]:
         """Fetch + interpret an async _fused_estimate result (see chain mode,
         which dispatches many estimates before fetching any)."""
-        packed = np.asarray(packed_dev)      # the single host sync per pair
+        packed = _host_fetch(packed_dev)     # the single host sync per pair
         return self.interpret_fused_row(
             packed, lambda: tuple(np.asarray(a) for a in pts)
         )
@@ -784,6 +911,11 @@ def stitch_all_images_auto(
 
     # Pairwise estimates from cached descriptors: H maps j -> i for i < j
     # (query = j, train = i, matching stitchTwoImages' right-onto-left).
+    # Each pair's result is a packed (11,) row [H.ravel(), inlier_count,
+    # ok]; all rows are stacked ON DEVICE and fetched with ONE host round
+    # trip for the whole match graph — mirroring the sharded twin
+    # (parallel/shard.stitch_all_images_auto_sharded), instead of paying
+    # up to 3 tunnel RPCs x 30-85 ms per pair.
     @jax.jit
     def pair_fn(kps_q, desc_q, bq, kps_t, desc_t, bt):
         m = match_ops.match_descriptors(
@@ -793,27 +925,34 @@ def stitch_all_images_auto(
         )
         pq, pt, v = match_ops.gather_match_points(kps_q, kps_t, m)
         res = ransac_ops.ransac_homography(pq, pt, v, cfg_r)
-        return (
-            res.H.reshape(-1).astype(jnp.float32),
-            res.inlier_count,
-            res.ok,
+        return jnp.concatenate(
+            [
+                res.H.reshape(-1).astype(jnp.float32),
+                jnp.stack(
+                    [
+                        res.inlier_count.astype(jnp.float32),
+                        res.ok.astype(jnp.float32),
+                    ]
+                ),
+            ]
         )
 
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    pending = {}
+    pending = []
     for i, j in pairs:
         ki, di, bi = feats[i]
         kj, dj, bj = feats[j]
-        pending[(i, j)] = pair_fn(kj, dj, bj, ki, di, bi)
+        pending.append(pair_fn(kj, dj, bj, ki, di, bi))
 
     counts = np.zeros((n, n), np.int64)
     h_edge: dict = {}
-    for (i, j), (h_flat, cnt, ok) in pending.items():
-        if not bool(ok):
-            continue
-        c = int(cnt)
-        counts[i, j] = counts[j, i] = c
-        h_edge[(i, j)] = np.asarray(h_flat, np.float64).reshape(3, 3)
+    if pending:
+        packed = _host_fetch(jnp.stack(pending))  # ONE sync for the graph
+        for k, (i, j) in enumerate(pairs):
+            if packed[k, 10] <= 0.5:
+                continue
+            counts[i, j] = counts[j, i] = int(packed[k, 9])
+            h_edge[(i, j)] = packed[k, :9].astype(np.float64).reshape(3, 3)
 
     if counts.sum() == 0:
         print("No connected image pairs!", file=sys.stderr)

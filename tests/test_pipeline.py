@@ -314,3 +314,144 @@ def test_composite_global_weight_canvas_tracks_xla_steps():
     assert w[64, 340] > 0.0      # image 3-only region (XLA branch)
     # And unreachable canvas must stay uncovered.
     assert w[64, : 160].min() > 0.0
+
+
+def test_auto_mode_single_fetch_for_match_graph(monkeypatch):
+    """The local auto mode must pay exactly ONE host fetch for the whole
+    n(n-1)/2 pair-estimation graph (each fetch costs 30-85 ms through the
+    axon tunnel), mirroring its sharded twin."""
+    from pano_tpu import pipeline
+
+    base = checkerboard_texture(128, 280, seed=4)
+    imgs = [
+        np.asarray(base[:, 120:280]),
+        np.asarray(base[:, 0:160]),
+        np.asarray(base[:, 60:220]),
+    ]
+    calls = []
+    real_fetch = pipeline._host_fetch
+    monkeypatch.setattr(
+        pipeline, "_host_fetch", lambda x: (calls.append(1), real_fetch(x))[1]
+    )
+    pano = pipeline.stitch_all_images_auto(imgs, SMALL, print_timing=False)
+    assert pano is not None
+    assert len(calls) == 1, f"expected 1 packed fetch, saw {len(calls)}"
+
+
+def test_tier_fallback_reuses_estimate():
+    """A tier coverage miss must NOT re-run detection/matching/RANSAC:
+    estimation is dispatched once, every tier attempt and the staged
+    composite fallback reuse it (regression for the round-2 'tier
+    escalation redoes the whole estimation' finding)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Vertical pair: overflows the panorama-shaped canvas at every tier,
+    # so the fused path walks tier 0 -> tier 1 -> staged composite.
+    base = checkerboard_texture(800, 160, seed=8)
+    top = base[:400].copy()
+    bottom = base[352:800].copy()
+
+    stitcher = PairStitcher(SMALL, print_timing=False)
+    est_calls, compose_tiers = [], []
+    real_est = stitcher._fused_estimate
+    stitcher._fused_estimate = (
+        lambda *a: (est_calls.append(1), real_est(*a))[1]
+    )
+    real_compose = stitcher._fused_compose
+
+    def counting_compose(tier, hr, wr):
+        compose_tiers.append(tier)
+        return real_compose(tier, hr, wr)
+
+    stitcher._fused_compose = counting_compose
+
+    with pltpu.force_tpu_interpret_mode():
+        pano = stitcher.stitch_pair_fast(
+            jnp.asarray(top), jnp.asarray(bottom), _assume_tpu=True
+        )
+    assert pano is not None
+    assert np.asarray(pano).shape[0] >= 790  # untruncated staged result
+    assert est_calls == [1], f"estimation ran {len(est_calls)} times"
+    assert compose_tiers == [0, 1], compose_tiers
+
+
+def _exact_est_row(h):
+    """Fused-protocol estimate row with a KNOWN homography: keeps parity
+    tests independent of RANSAC noise (an estimated H lands sub-pixel off
+    an integer, so the staged path's truncated translation and the fused
+    path's round-up-and-crop framing resample on different sub-pixel grids
+    — both valid panoramas, not bit-comparable)."""
+    import numpy as _np
+
+    return jnp.asarray(
+        list(_np.asarray(h, _np.float32).ravel())
+        + [100.0, 100.0, 1.0, 100.0, 0.0],
+        jnp.float32,
+    )
+
+
+def _run_fused_compose(stitcher, left, right, h, tier=0):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        packed_src = stitcher._pack_src()(jnp.asarray(right))
+        packed_out, canvas = stitcher._fused_compose(
+            tier, right.shape[0], right.shape[1]
+        )(jnp.asarray(left), packed_src, _exact_est_row(h))
+    v = np.asarray(packed_out)
+    assert v[18] > 0.5, "expected in-envelope, in-coverage homography"
+    ch, cw = int(v[16]), int(v[17])
+    cy0, cx0 = int(v[19]), int(v[20])
+    return np.asarray(canvas[cy0:cy0 + ch, cx0:cx0 + cw])
+
+
+def test_fused_stitch_multiband_matches_staged():
+    """Multiband now runs through the one-pass pallas composite inside the
+    fused graph; with an exact integer homography it must reproduce the
+    staged multiband composite."""
+    import dataclasses
+
+    cfg = SMALL.replace(
+        stitch=dataclasses.replace(SMALL.stitch, blend="multiband")
+    )
+    left, right = translated_pair()
+    h = np.eye(3)
+    h[0, 2] = -48.0
+    stitcher = PairStitcher(cfg, print_timing=False)
+    staged = np.asarray(
+        stitcher.composite(jnp.asarray(left), jnp.asarray(right), h)
+    )
+    fused = _run_fused_compose(stitcher, left, right, h)
+    assert fused.shape == staged.shape, (fused.shape, staged.shape)
+    d = np.abs(fused.astype(int) - staged.astype(int)).max(-1)
+    # u8-rounded pallas warp vs unrounded XLA warp feeding the pyramids.
+    assert (d > 10).mean() < 0.02, (d.max(), (d > 10).mean())
+
+
+def test_fused_stitch_gain_matches_staged():
+    """Gain compensation no longer forces the XLA epilogue: the fused graph
+    pre-scales the warped window and still composes via the pallas kernel.
+    Must match the staged gain path for an exact homography."""
+    import dataclasses
+
+    cfg = SMALL.replace(
+        stitch=dataclasses.replace(
+            SMALL.stitch, blend="feather", gain_compensation=True
+        )
+    )
+    left, right = translated_pair()
+    # Real exposure offset so the gain actually engages.
+    right = np.clip(right.astype(np.int32) * 1.25, 0, 255).astype(np.uint8)
+    h = np.eye(3)
+    h[0, 2] = -48.0
+    stitcher = PairStitcher(cfg, print_timing=False)
+    staged = np.asarray(
+        stitcher.composite(jnp.asarray(left), jnp.asarray(right), h)
+    )
+    fused = _run_fused_compose(stitcher, left, right, h)
+    assert fused.shape == staged.shape
+    # The blended output must reflect the ~0.8 gain (right-only region
+    # darker than the raw brightened input).
+    assert fused[:, :40].mean() < right[:, :40].mean() - 5
+    d = np.abs(fused.astype(int) - staged.astype(int)).max(-1)
+    assert (d > 10).mean() < 0.02, (d.max(), (d > 10).mean())
