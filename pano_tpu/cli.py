@@ -164,6 +164,10 @@ def run(
     # reference's mains set them all explicitly (src/serial/main.cpp:428-435)
     # but expose none on the command line; we expose the full surface:
     #   --mode fold|chain|auto         multi-image strategy
+    #   --timing total|stages          total: fused single-sync product path
+    #                                  (default for tpu/sharded); stages:
+    #                                  per-stage timing lines, one host sync
+    #                                  per stage (default for serial/parity)
     #   --blend overlay|feather|multiband   compositing (reference: overlay)
     #   --k F --nms-thresh F --nms-size N --patch N --ssd-thresh F
     #                                  HarrisCornerOptions fields
@@ -209,6 +213,7 @@ def run(
 
     warmup = take_switch("--warmup")
     parity = take_switch("--parity")
+    timing = take_flag("--timing", ("total", "stages"))
     mode = take_flag("--mode", ("fold", "chain", "auto"))
     blend = take_flag("--blend", ("overlay", "feather", "multiband"))
     json_out = take_flag("--json")
@@ -251,14 +256,23 @@ def run(
     if parity:
         # Reference pipeline semantics end-to-end (raw argmin SSD matching
         # src/serial/main.cpp:188-244, exact selection, overlay blend
-        # :380-386, left-fold :395-414); explicit flags still override.
+        # :380-386, left-fold :395-414, per-stage timing lines :182-302);
+        # explicit flags still override.
         harris_over = {
             "ratio_thresh": 0.0, "cross_check": False,
             "topk_method": "exact", **harris_over,
         }
         blend = blend or "overlay"
         mode = mode or "fold"
+        timing = timing or "stages"
     mode = mode or "fold"
+    if timing is None:
+        # The accelerator paths default to the PRODUCT (fused single-sync)
+        # path — `pano.sh run tpu` must be as fast as bench.py, not pay a
+        # 30-85 ms tunnel RPC per stage line. The serial oracle keeps the
+        # reference's per-stage contract by default; the reference's own
+        # default path IS its fast path (src/gpu/main.cpp:322-449).
+        timing = "stages" if impl in ("serial", "opencv") else "total"
 
     stitch_over = {}
     if blend:
@@ -354,13 +368,13 @@ def run(
                 # but keep them out of the --json stages list.
                 stitch_all_images(
                     reader.images, config, timing_tag=tag, device=device,
-                    mode=mode,
+                    mode=mode, timing=timing,
                 )
                 reset_stage_records()
             with _maybe_profile():
                 panorama = stitch_all_images(
                     reader.images, config, timing_tag=tag, device=device,
-                    mode=mode,
+                    mode=mode, timing=timing,
                 )
 
     if panorama is None:

@@ -764,6 +764,7 @@ def stitch_all_images(
     timing_tag: str = "",
     device: Optional[jax.Device] = None,
     mode: str = "fold",
+    timing: str = "stages",
 ) -> Optional[np.ndarray]:
     """Multi-image stitching. Returns host uint8 BGR.
 
@@ -778,6 +779,15 @@ def stitch_all_images(
     images onto one globally-sized canvas. Fewer XLA shapes (one detect
     graph per input resolution, one warp graph), better keypoint quality,
     same output semantics.
+
+    timing='stages': per-stage timing lines (Harris/match/RANSAC), forcing
+    a host sync per stage — the reference's stdout contract
+    (src/serial/main.cpp:182-302). timing='total': the PRODUCT path — the
+    fold runs the single-sync fused stitch (PairStitcher.stitch_pair_fast)
+    and only "Image Stitching"/total lines are printed, timing the fused
+    whole exactly as the reference's own stitchTwoImages total does
+    (src/serial/main.cpp:388-389). Chain/auto modes are inherently fused
+    and print total lines in either setting.
     """
     config = _platform_config(config, device)
     if mode == "chain":
@@ -791,7 +801,8 @@ def stitch_all_images(
     t = Timer()
     if not images:
         return None
-    stitcher = PairStitcher(config, print_timing, timing_tag)
+    fast = timing == "total"
+    stitcher = PairStitcher(config, print_timing and not fast, timing_tag)
 
     def to_dev(a):
         arr = jnp.asarray(a, dtype=jnp.uint8)
@@ -801,10 +812,18 @@ def stitch_all_images(
     n = len(images)
     for i in range(1, n):
         print(f"Stitching image {i + 1} of {n}...", flush=True)
-        temp = stitcher.stitch_pair(panorama, to_dev(images[i]))
+        t_pair = Timer()
+        if fast:
+            temp = stitcher.stitch_pair_fast(panorama, to_dev(images[i]))
+        else:
+            temp = stitcher.stitch_pair(panorama, to_dev(images[i]))
         if temp is None:
             print(f"Failed to stitch image {i}!", file=sys.stderr)
             continue
+        if fast and print_timing:
+            print_stage(
+                _suffix("Image Stitching", timing_tag), t_pair.elapsed()
+            )
         panorama = temp
     if print_timing:
         print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())

@@ -137,3 +137,50 @@ def test_opencv_impl_three_timed_phases(scene_dir, tmp_path, capsys):
     assert "Stitching process:" in stdout
     if rc == 0:
         assert "Saving panorama:" in stdout
+
+
+def test_tpu_impl_defaults_to_fused_total_timing(scene_dir, tmp_path, capsys):
+    """`run tpu` must default to the product (fused single-sync) path: only
+    Image Stitching / total lines, no per-stage sync lines (VERDICT r2 #1).
+    The timing-line format itself stays reference-exact."""
+    import re
+
+    out = str(tmp_path / "pano.jpg")
+    rc = cli.run("tpu", ["--dir", scene_dir, "--out", out])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert re.search(r"^Image Stitching[^:]*: \d+\.\d{3} ms$", stdout, re.M)
+    assert re.search(
+        r"^Total Stitching Process[^:]*: \d+\.\d{3} ms$", stdout, re.M
+    )
+    assert re.search(r"^Total Execution Time[^:]*: \d+\.\d{3} ms$", stdout, re.M)
+    assert "Harris Corner Detection" not in stdout
+    assert "RANSAC Homography Estimation" not in stdout
+
+
+def test_timing_stages_flag_restores_stage_lines(scene_dir, tmp_path, capsys):
+    """--timing stages keeps the reference's per-stage stdout contract on
+    the accelerator path (benchmark parsers grep these exact labels)."""
+    import re
+
+    out = str(tmp_path / "pano.jpg")
+    rc = cli.run("tpu", ["--dir", scene_dir, "--out", out,
+                         "--timing", "stages"])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    for label in (
+        "Harris Corner Detection",
+        "Harris Corner Matching",
+        "RANSAC Homography Estimation",
+        "Image Stitching",
+    ):
+        assert re.search(rf"^{label}[^:]*: \d+\.\d{{3}} ms$", stdout, re.M), label
+
+
+def test_parity_preset_defaults_to_stage_timing(scene_dir, tmp_path, capsys):
+    """--parity implies the reference's per-stage timing even on tpu."""
+    out = str(tmp_path / "pano.jpg")
+    rc = cli.run("tpu", ["--dir", scene_dir, "--out", out, "--parity",
+                         "--kpts", "256", "--iters", "128"])
+    assert rc == 0
+    assert "Harris Corner Detection" in capsys.readouterr().out
