@@ -1021,6 +1021,40 @@ def max_spanning_tree_globals(
     return globals_h, root
 
 
+def global_canvas_geometry(
+    images: List[np.ndarray],
+    globals_h: List[Optional[np.ndarray]],
+    anchor: int,
+    bucket: int,
+) -> Tuple[np.ndarray, int, int, int, int]:
+    """Global canvas bounds over all placed images (anchor frame).
+
+    Returns (t_mat, canvas_h, canvas_w, pad_h, pad_w). Shared by the local
+    and sharded global-composite paths so the framing cannot drift."""
+    n = len(images)
+    min_x = min_y = 0.0
+    max_y = float(images[anchor].shape[0])
+    max_x = float(images[anchor].shape[1])
+    for i in range(n):
+        if i == anchor or globals_h[i] is None:
+            continue
+        hr, wr = images[i].shape[:2]
+        corners = warp_ops.warp_corners(globals_h[i], hr, wr)
+        min_x = min(min_x, corners[:, 0].min())
+        min_y = min(min_y, corners[:, 1].min())
+        max_x = max(max_x, corners[:, 0].max())
+        max_y = max(max_y, corners[:, 1].max())
+
+    t_mat = np.array(
+        [[1.0, 0.0, -min_x], [0.0, 1.0, -min_y], [0.0, 0.0, 1.0]]
+    )
+    canvas_h = int(np.ceil(max_y - min_y))
+    canvas_w = int(np.ceil(max_x - min_x))
+    pad_h = _round_up(canvas_h, bucket)
+    pad_w = _round_up(canvas_w, bucket)
+    return t_mat, canvas_h, canvas_w, pad_h, pad_w
+
+
 def composite_global(
     images: List[np.ndarray],
     devs: List[jnp.ndarray],
@@ -1041,35 +1075,17 @@ def composite_global(
     cfg = config.stitch
     n = len(images)
 
-    # Global canvas bounds over all placed images (anchor frame).
-    min_x = min_y = 0.0
-    max_y = float(images[anchor].shape[0])
-    max_x = float(images[anchor].shape[1])
-    for i in range(n):
-        if i == anchor or globals_h[i] is None:
-            continue
-        hr, wr = images[i].shape[:2]
-        corners = warp_ops.warp_corners(globals_h[i], hr, wr)
-        min_x = min(min_x, corners[:, 0].min())
-        min_y = min(min_y, corners[:, 1].min())
-        max_x = max(max_x, corners[:, 0].max())
-        max_y = max(max_y, corners[:, 1].max())
-
-    t_mat = np.array(
-        [[1.0, 0.0, -min_x], [0.0, 1.0, -min_y], [0.0, 0.0, 1.0]]
+    t_mat, canvas_h, canvas_w, pad_h, pad_w = global_canvas_geometry(
+        images, globals_h, anchor, cfg.canvas_bucket
     )
-    canvas_h = int(np.ceil(max_y - min_y))
-    canvas_w = int(np.ceil(max_x - min_x))
-    pad_h = _round_up(canvas_h, cfg.canvas_bucket)
-    pad_w = _round_up(canvas_w, cfg.canvas_bucket)
 
     # Composite: place the anchor, then warp+blend every other image onto
     # the SAME canvas (one warp graph for all steps — the canvas never
     # grows). A weight canvas carries the exact accumulated coverage
     # (feather ramps) so feather/multiband seams are placed against real
     # coverage, not the canvas rectangle.
-    ty0 = jnp.asarray(int(-min_y), jnp.int32)
-    tx0 = jnp.asarray(int(-min_x), jnp.int32)
+    ty0 = jnp.asarray(int(t_mat[1, 2]), jnp.int32)
+    tx0 = jnp.asarray(int(t_mat[0, 2]), jnp.int32)
     canvas = jnp.zeros((pad_h, pad_w, 3), jnp.uint8)
     canvas = jax.lax.dynamic_update_slice(
         canvas, devs[anchor], (ty0, tx0, jnp.asarray(0, jnp.int32))

