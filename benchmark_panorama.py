@@ -102,8 +102,10 @@ def _device_worker(args):
 
     assert len(jax.devices()) >= n, (len(jax.devices()), n)
 
-    # Fixed total work (strong scaling): B identical image pairs from the
-    # dataset, estimation + batched composite sharded over n devices.
+    # Strong scaling: fixed total work (B pairs) over n devices. Weak
+    # scaling (--weak): work ∝ parallelism — batch = B*n so per-device
+    # load is constant, the device-axis analog of the reference's
+    # area-∝-threads rule (/root/reference/benchmark_panorama.py:52-63).
     names = sorted(
         f for f in os.listdir(args.dataset)
         if f.lower().endswith((".jpg", ".png"))
@@ -121,9 +123,12 @@ def _device_worker(args):
     h = min(i.shape[0] for i in imgs)
     w = min(i.shape[1] for i in imgs)
     imgs = [i[:h, :w] for i in imgs]
-    # Pad the batch up to a multiple of the mesh's data axis (the sharded
-    # batch paths require divisibility).
-    b = ((args.batch + n - 1) // n) * n
+    if args.weak:
+        b = args.batch * n          # constant per-device load
+    else:
+        # Pad the batch up to a multiple of the mesh's data axis (the
+        # sharded batch paths require divisibility).
+        b = ((args.batch + n - 1) // n) * n
     lefts = jnp.asarray(np.stack([imgs[0]] * b), jnp.uint8)
     rights = jnp.asarray(np.stack([imgs[1]] * b), jnp.uint8)
 
@@ -133,9 +138,19 @@ def _device_worker(args):
     )
     mesh = shard.make_mesh(n_data=n, n_hyp=1)
 
+    from pano_tpu import pipeline
+
+    # Count host fetches (device->host syncs; 30-85 ms tunnel RTT each) so
+    # the sweep asserts the SCALING STRUCTURE — one fetch per batch
+    # regardless of batch or device count — even on hosts where wall-clock
+    # over virtual devices is meaningless (1 CPU core time-slices them).
+    fetch_calls = []
+    real_fetch = pipeline._host_fetch
+    pipeline._host_fetch = lambda x: (fetch_calls.append(1), real_fetch(x))[1]
+
     def run_est():
         packed, _ = shard.fused_estimate_batched(lefts, rights, cfg, mesh)
-        np.asarray(packed)  # one host sync for the whole batch
+        pipeline._host_fetch(packed)  # one host sync for the whole batch
 
     def run_full():
         shard.stitch_pairs_batched(lefts, rights, cfg, mesh)
@@ -149,9 +164,13 @@ def _device_worker(args):
             fn()
             times.append((time.perf_counter() - t0) * 1e3)
         out[label] = min(times)
+        fetch_calls.clear()
+        fn()
+        out[label + "_fetches"] = len(fetch_calls)
     print(
         f"DEVICE_SWEEP devices={n} batch={b} est_ms={out['est']:.1f} "
-        f"full_ms={out['full']:.1f}",
+        f"full_ms={out['full']:.1f} est_fetches={out['est_fetches']} "
+        f"full_fetches={out['full_fetches']}",
         flush=True,
     )
 
@@ -159,15 +178,20 @@ def _device_worker(args):
 def _device_sweep(args):
     """Parent: sweep device counts, collect, write CSV + log-log plot.
 
-    The TPU analog of the reference's OMP_NUM_THREADS 1..64 strong-scaling
-    sweep (/root/reference/benchmark_panorama.py:26,38-63,85,101-137):
-    the parallelism axis is the mesh size over which the batch of pairs is
-    sharded, instead of a thread count.
+    The TPU analog of the reference's OMP_NUM_THREADS 1..64 scaling sweep
+    (/root/reference/benchmark_panorama.py:26,38-63,85,101-137): the
+    parallelism axis is the mesh size over which the batch of pairs is
+    sharded, instead of a thread count. Default is strong scaling (fixed
+    batch); --weak couples work to parallelism (batch = --batch x devices,
+    constant per-device load), the device-axis analog of the reference's
+    area-proportional-to-threads rule. Each row also records the host-fetch
+    count per batch — the sync-structure invariant (1 fetch per batch) that
+    holds regardless of wall-clock noise on time-sliced virtual devices.
     """
     counts = [int(c) for c in args.devices.split(",")]
     line_re = re.compile(
         r"DEVICE_SWEEP devices=(\d+) batch=(\d+) est_ms=([\d.]+) "
-        r"full_ms=([\d.]+)"
+        r"full_ms=([\d.]+) est_fetches=(\d+) full_fetches=(\d+)"
     )
     rows = []
     for n in counts:
@@ -179,7 +203,8 @@ def _device_sweep(args):
             "--kpts", str(args.kpts),
             "--device-scale", str(args.device_scale),
             "--repeats", str(args.repeats),
-        ] + (["--real-mesh"] if args.real_mesh else [])
+        ] + (["--real-mesh"] if args.real_mesh else []) \
+          + (["--weak"] if args.weak else [])
         proc = subprocess.run(
             cmd, capture_output=True, text=True, cwd=HERE
         )
@@ -194,12 +219,16 @@ def _device_sweep(args):
                 "est_ms": float(m.group(3)),
                 "full_ms": float(m.group(4)),
                 "pairs_per_s": 1e3 * int(m.group(2)) / float(m.group(4)),
+                "est_fetches": int(m.group(5)),
+                "full_fetches": int(m.group(6)),
             }
         )
         print(
-            f"devices={n} est={rows[-1]['est_ms']:.1f} ms "
+            f"devices={n} batch={rows[-1]['batch']} "
+            f"est={rows[-1]['est_ms']:.1f} ms "
             f"full={rows[-1]['full_ms']:.1f} ms "
-            f"({rows[-1]['pairs_per_s']:.2f} pairs/s)",
+            f"({rows[-1]['pairs_per_s']:.2f} pairs/s, "
+            f"{rows[-1]['est_fetches']}/{rows[-1]['full_fetches']} fetches)",
             flush=True,
         )
 
@@ -207,7 +236,7 @@ def _device_sweep(args):
         w = csv.DictWriter(
             f,
             fieldnames=["devices", "batch", "est_ms", "full_ms",
-                        "pairs_per_s"],
+                        "pairs_per_s", "est_fetches", "full_fetches"],
         )
         w.writeheader()
         w.writerows(rows)
@@ -225,13 +254,25 @@ def _device_sweep(args):
                            ("full_ms", "full stitch (est + composite)")):
             ys = [r[key] for r in rows]
             plt.loglog(ns, ys, "o-", label=f"{label} measured")
-            ideal = [ys[0] * ns[0] / n for n in ns]
-            plt.loglog(ns, ideal, "--", alpha=0.6,
-                       label=f"{label} ideal 1/n")
+            if args.weak:
+                # Weak scaling: per-device load constant => ideal is flat.
+                ideal = [ys[0]] * len(ns)
+                ideal_lbl = f"{label} ideal (flat)"
+            else:
+                ideal = [ys[0] * ns[0] / n for n in ns]
+                ideal_lbl = f"{label} ideal 1/n"
+            plt.loglog(ns, ideal, "--", alpha=0.6, label=ideal_lbl)
         plt.xlabel("devices (mesh 'data' axis)")
-        plt.ylabel(f"batch of {rows[0]['batch']} pairs: time (ms)")
+        if args.weak:
+            plt.ylabel(
+                f"batch of {args.batch}x devices pairs: time (ms)"
+            )
+            regime = "weak"
+        else:
+            plt.ylabel(f"batch of {rows[0]['batch']} pairs: time (ms)")
+            regime = "strong"
         plt.title(
-            f"Device-count strong scaling — "
+            f"Device-count {regime} scaling — "
             f"{os.path.basename(args.dataset)}"
         )
         plt.xticks(ns, [str(n) for n in ns])
@@ -259,6 +300,11 @@ def main():
     )
     ap.add_argument("--real-mesh", action="store_true",
                     help="use the real device mesh (multi-chip hardware)")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling for the device sweep: batch = "
+                    "--batch x devices so per-device load is constant "
+                    "(the device-axis analog of the reference's "
+                    "area-proportional-to-threads rule)")
     ap.add_argument("--batch", type=int, default=8,
                     help="pairs per batch for the device sweep")
     ap.add_argument("--kpts", type=int, default=1024,

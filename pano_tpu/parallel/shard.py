@@ -294,7 +294,7 @@ def composite_pairs_batched(
                                            None, None))
         else:
             fn = jax.jit(fn)
-        canvases = np.asarray(fn(gl, gr, gm, gtx, gty, gwx, gwy))
+        canvases = pipeline._host_fetch(fn(gl, gr, gm, gtx, gty, gwx, gwy))
         for row, b in enumerate(idxs):
             ch, cw = geo[b][5], geo[b][6]
             # copy(): a view would pin the whole group buffer in memory.
@@ -316,11 +316,22 @@ def stitch_pairs_batched(
     the pipeline scale with device count. Returns a list of host uint8
     panoramas (None for failed pairs).
     """
-    hs, counts, ok = estimate_homographies_batched(
+    hs_d, counts_d, ok_d = estimate_homographies_batched(
         lefts, rights, config, mesh
     )
-    hs = np.asarray(hs, np.float64)
-    ok = np.asarray(ok)
+    b = int(lefts.shape[0])
+    # Pack H + ok into ONE device array so the estimation half costs ONE
+    # host fetch (each is 30-85 ms of tunnel RTT, CLAUDE.md).
+    packed = jnp.concatenate(
+        [
+            hs_d.reshape(b, 9).astype(jnp.float32),
+            ok_d.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    v = pipeline._host_fetch(packed)
+    hs = v[:, :9].astype(np.float64).reshape(b, 3, 3)
+    ok = v[:, 9] > 0.5
     return composite_pairs_batched(lefts, rights, hs, ok, config, mesh)
 
 
@@ -600,7 +611,7 @@ def stitch_all_images_chain_sharded(
         rights = jnp.concatenate([rights, rights[-1:].repeat(pad, axis=0)])
 
     packed_dev, pts = fused_estimate_batched(lefts, rights, config, mesh)
-    v = np.asarray(packed_dev)               # THE single batch host sync
+    v = pipeline._host_fetch(packed_dev)     # THE single batch host sync
 
     stitcher = pipeline.PairStitcher(config, print_timing=False)
     devs = [stack[i] for i in range(n)]
@@ -713,10 +724,19 @@ def stitch_all_images_auto_sharded(
         )
         pq, pt, v = match_ops.gather_match_points(kq, kt, m)
         res = ransac_ops.ransac_homography(pq, pt, v, cfg_r)
-        return (
-            res.H.reshape(-1).astype(jnp.float32),
-            res.inlier_count.astype(jnp.int32),
-            res.ok,
+        # Packed (11,) row [H.ravel(), inlier_count, ok]: ONE device array
+        # for the whole graph => ONE host fetch (each costs 30-85 ms of
+        # tunnel RTT), same protocol as the local auto mode.
+        return jnp.concatenate(
+            [
+                res.H.reshape(-1).astype(jnp.float32),
+                jnp.stack(
+                    [
+                        res.inlier_count.astype(jnp.float32),
+                        res.ok.astype(jnp.float32),
+                    ]
+                ),
+            ]
         )
 
     fn = jax.vmap(one_pair)
@@ -727,18 +747,15 @@ def stitch_all_images_auto_sharded(
         fn = jax.jit(fn, in_shardings=(spec, spec))
     else:
         fn = jax.jit(fn)
-    h_flat, cnt, ok = fn(idx_i, idx_j)
-    h_flat = np.asarray(h_flat)                    # one fetch for the graph
-    cnt = np.asarray(cnt)
-    ok = np.asarray(ok)
+    packed = pipeline._host_fetch(fn(idx_i, idx_j))  # ONE fetch, whole graph
 
     counts = np.zeros((n, n), np.int64)
     h_edge: dict = {}
     for k, (i, j) in enumerate(pairs):
-        if not ok[k]:
+        if packed[k, 10] <= 0.5:
             continue
-        counts[i, j] = counts[j, i] = int(cnt[k])
-        h_edge[(i, j)] = h_flat[k].astype(np.float64).reshape(3, 3)
+        counts[i, j] = counts[j, i] = int(packed[k, 9])
+        h_edge[(i, j)] = packed[k, :9].astype(np.float64).reshape(3, 3)
 
     if counts.sum() == 0:
         print("No connected image pairs!", file=sys.stderr)

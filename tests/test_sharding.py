@@ -325,3 +325,27 @@ def test_composite_global_sharded_warps_in_one_sharded_dispatch():
     # The batch axis must actually be sharded over the 4 'data' devices.
     assert len(wins.sharding.device_set) == 4
     assert len(weights.sharding.device_set) == 4
+
+
+def test_sharded_auto_single_fetch(monkeypatch):
+    """The sharded auto mode must pay exactly ONE host fetch for the whole
+    n(n-1)/2 match graph (packed rows), like its local twin."""
+    from pano_tpu import pipeline
+
+    base = checkerboard_texture(96, 256, seed=31)
+    imgs = [
+        base[:, 64:192].copy(),
+        base[:, 0:128].copy(),
+        base[:, 128:256].copy(),
+    ]
+    calls = []
+    real_fetch = pipeline._host_fetch
+    monkeypatch.setattr(
+        pipeline, "_host_fetch", lambda x: (calls.append(1), real_fetch(x))[1]
+    )
+    mesh = shard.make_mesh(n_data=2, n_hyp=1)
+    pano = shard.stitch_all_images_auto_sharded(
+        imgs, SMALL, mesh=mesh, print_timing=False
+    )
+    assert pano is not None
+    assert len(calls) == 1, f"expected 1 packed fetch, saw {len(calls)}"
