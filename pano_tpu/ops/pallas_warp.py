@@ -97,6 +97,41 @@ def pack_bgra(
     )
 
 
+MAX_MIP = 2  # deepest 2x prefilter level the mip path will try (4x total)
+
+
+def mip_m_inv(m_inv: np.ndarray, lvl: int) -> np.ndarray:
+    """Inverse map re-targeted at the 2^lvl-downsampled source: the full-res
+    source coordinate divided by the mip scale."""
+    s = float(2 ** lvl)
+    return np.diag([1.0 / s, 1.0 / s, 1.0]) @ np.asarray(m_inv, np.float64)
+
+
+def pick_mip_level(
+    m_inv: np.ndarray,
+    out_h: int,
+    out_w: int,
+    off_x: float = 0.0,
+    off_y: float = 0.0,
+) -> "int | None":
+    """Smallest mip level (0 = full res) at which the kernel's envelope
+    accepts this warp, or None if even the deepest level fails.
+
+    Kills the minification quality/perf cliff: beyond SCALE_MAX (~1.32x
+    zoom-out) the kernel's two-pass resample degrades and the old gate fell
+    back to the XLA gather warp (~190 ms for a 4K canvas, see module
+    docstring). Warping from a 2x-box-prefiltered source halves the
+    effective Jacobian, so scales up to SCALE_MAX * 2^MAX_MIP stay on the
+    kernel — and the prefilter anti-aliases, which plain bilinear at >2x
+    minification does not (standard mipmapping argument)."""
+    for lvl in range(MAX_MIP + 1):
+        if supports_homography(
+            mip_m_inv(m_inv, lvl), out_h, out_w, off_x, off_y
+        ):
+            return lvl
+    return None
+
+
 def supports_homography(
     m_inv: np.ndarray,
     out_h: int,

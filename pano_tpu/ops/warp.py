@@ -226,6 +226,24 @@ def _multiband_compose(
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("lvl",))
+def downsample_pow2(img_u8: jnp.ndarray, lvl: int) -> jnp.ndarray:
+    """(H, W, 3) u8 -> (H >> lvl, W >> lvl, 3) u8 by repeated 2x2 box
+    filtering (round-half-up integer mean) — the mip source for the Pallas
+    warp kernel's minification path (ops/pallas_warp.pick_mip_level). Odd
+    trailing rows/cols are cropped (< 1 source px of extent per level; the
+    packed border alpha masks the edge exactly as at full res)."""
+    out = img_u8
+    for _ in range(lvl):
+        h2, w2 = out.shape[0] // 2, out.shape[1] // 2
+        p = out[: h2 * 2, : w2 * 2].astype(jnp.int32)
+        s = (
+            p.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) + 2
+        ) >> 2
+        out = s.astype(jnp.uint8)
+    return out
+
+
 def _edge_ramp(h: int, w: int) -> jnp.ndarray:
     """Feather weight map: distance to nearest image edge, normalized."""
     ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)

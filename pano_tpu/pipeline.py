@@ -689,20 +689,33 @@ class PairStitcher:
         )
 
         # Fast path: Pallas 2-pass warp kernel (TPU only, in-envelope H).
-        if (
-            cfg.use_pallas_warp
-            and jax.default_backend() == "tpu"
-            and cfg.blend in ("overlay", "feather", "multiband")
-            and cfg.canvas_bucket % 128 == 0
-            and pallas_warp.supports_homography(
+        # pick_mip_level=0 is the common full-res case; >0 warps from a
+        # 2^lvl box-prefiltered source so zoomed-out pairs (beyond the
+        # kernel's SCALE_MAX) stay off the ~190 ms XLA gather cliff.
+        mip = (
+            pallas_warp.pick_mip_level(
                 m_inv, win_h, win_w, off_x=wx0, off_y=wy0
             )
-        ):
+            if (
+                cfg.use_pallas_warp
+                and jax.default_backend() == "tpu"
+                and cfg.blend in ("overlay", "feather", "multiband")
+                and cfg.canvas_bucket % 128 == 0
+            )
+            else None
+        )
+        if mip is not None:
+            src = (
+                right_dev if mip == 0
+                else warp_ops.downsample_pow2(right_dev, mip)
+            )
+            hs, ws = hr >> mip, wr >> mip
+            m_inv_lvl = pallas_warp.mip_m_inv(m_inv, mip)
             alpha = None
             if cfg.blend in ("feather", "multiband"):
-                alpha = warp_ops._edge_ramp(hr, wr)
-            packed = pallas_warp.pack_bgra(right_dev, alpha)
-            params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
+                alpha = warp_ops._edge_ramp(hs, ws)
+            packed = pallas_warp.pack_bgra(src, alpha)
+            params = pallas_warp.make_params(m_inv_lvl, wx0, wy0, hs, ws)
             rgb_win, w_win = pallas_warp.warp_packed(
                 packed, params, win_h, win_w, has_alpha=alpha is not None
             )
@@ -1114,20 +1127,30 @@ def composite_global(
             m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=align
         )
 
-        if (
-            cfg.use_pallas_warp
-            and jax.default_backend() == "tpu"
-            and cfg.blend in ("overlay", "feather", "multiband")
-            and cfg.canvas_bucket % 128 == 0
-            and pallas_warp.supports_homography(
+        mip = (
+            pallas_warp.pick_mip_level(
                 m_inv, win_h, win_w, off_x=wx0, off_y=wy0
             )
-        ):
+            if (
+                cfg.use_pallas_warp
+                and jax.default_backend() == "tpu"
+                and cfg.blend in ("overlay", "feather", "multiband")
+                and cfg.canvas_bucket % 128 == 0
+            )
+            else None
+        )
+        if mip is not None:
+            src = (
+                devs[i] if mip == 0
+                else warp_ops.downsample_pow2(devs[i], mip)
+            )
+            hs, ws = hr >> mip, wr >> mip
+            m_inv_lvl = pallas_warp.mip_m_inv(m_inv, mip)
             alpha = None
             if cfg.blend in ("feather", "multiband"):
-                alpha = warp_ops._edge_ramp(hr, wr)
-            packed = pallas_warp.pack_bgra(devs[i], alpha)
-            params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
+                alpha = warp_ops._edge_ramp(hs, ws)
+            packed = pallas_warp.pack_bgra(src, alpha)
+            params = pallas_warp.make_params(m_inv_lvl, wx0, wy0, hs, ws)
             rgb_win, w_win = pallas_warp.warp_packed(
                 packed, params, win_h, win_w, has_alpha=alpha is not None
             )

@@ -130,3 +130,68 @@ def test_no_alpha_overlay_path_matches_xla(img):
     d = np.abs(out.astype(int) - ref.astype(int))
     assert d.max() <= 2  # rounding + inter-pass u8 requantization
     np.testing.assert_allclose(w, np.asarray(ref_w), atol=1e-5)
+
+
+# --- mip (2x-prefilter) minification path -------------------------------
+
+def test_downsample_pow2_box_filter_exact():
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = np.asarray(W.downsample_pow2(jnp.asarray(img), 1))
+    assert out.shape == (2, 3, 3)
+    # round-half-up integer mean of each 2x2 block
+    ref = (
+        img.astype(np.int32).reshape(2, 2, 3, 2, 3).sum(axis=(1, 3)) + 2
+    ) >> 2
+    np.testing.assert_array_equal(out, ref.astype(np.uint8))
+
+
+def test_downsample_pow2_odd_dims_crop():
+    img = np.random.default_rng(0).integers(
+        0, 256, (101, 77, 3)
+    ).astype(np.uint8)
+    out = np.asarray(W.downsample_pow2(jnp.asarray(img), 2))
+    assert out.shape == (25, 19, 3)
+
+
+def test_pick_mip_level_escalates_with_minification():
+    def scale_m_inv(s):
+        # out -> src map that MINIFIES by s (src spans s x the output).
+        return np.diag([s, s, 1.0])
+
+    assert PW.pick_mip_level(scale_m_inv(1.0), 256, 256) == 0
+    assert PW.pick_mip_level(scale_m_inv(2.0), 256, 256) == 1
+    assert PW.pick_mip_level(scale_m_inv(4.0), 256, 256) == 2
+    # Beyond SCALE_MAX * 2^MAX_MIP even the deepest mip fails.
+    assert PW.pick_mip_level(scale_m_inv(8.0), 256, 256) is None
+
+
+def test_mip_warp_matches_downsampled_oracle():
+    """A 2x-minifying warp through the mip path (level-1 source + scaled
+    m_inv) must match the XLA bilinear oracle SAMPLING THE SAME MIP — the
+    kernel-parity bound, independent of prefilter quality."""
+    r = np.random.default_rng(11)
+    img = r.integers(0, 256, (256, 384, 3)).astype(np.uint8)
+    m_inv = np.diag([2.0, 2.0, 1.0])   # out -> full-res src, 2x minify
+
+    lvl = PW.pick_mip_level(m_inv, 128, 128)
+    assert lvl == 1
+    src = W.downsample_pow2(jnp.asarray(img), lvl)
+    m_lvl = PW.mip_m_inv(m_inv, lvl)
+
+    packed = PW.pack_bgra(src, None)
+    params = PW.make_params(
+        m_lvl, 0.0, 0.0, src.shape[0], src.shape[1]
+    )
+    with pltpu.force_tpu_interpret_mode():
+        rgb, w = PW.warp_packed(packed, params, 128, 128)
+    out = np.asarray(PW.unpack_rgb(rgb))
+
+    sx, sy = W._inverse_map(
+        jnp.asarray(m_lvl, jnp.float32), 128, 128,
+        jnp.asarray(0.0), jnp.asarray(0.0),
+    )
+    ref_rgb, ref_w = jax.jit(W._bilinear_sample_u8)(src, sx, sy)
+    ref = np.clip(np.round(np.asarray(ref_rgb)), 0, 255).astype(np.uint8)
+    inb = np.asarray(ref_w) > 0.5
+    d = np.abs(out.astype(int) - ref.astype(int))[inb]
+    assert d.max() <= 2, d.max()

@@ -51,6 +51,50 @@ def load(path: str) -> "xplane_pb2.XSpace":
     return xs
 
 
+def _busy_union_ps(spans) -> int:
+    """Union length of (start_ps, end_ps) intervals — events on one XLA
+    line can nest (module > fusion), so a plain sum double-counts."""
+    spans = sorted(spans)
+    busy = 0
+    cur_s, cur_e = None, None
+    for s, e in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                busy += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        busy += cur_e - cur_s
+    return busy
+
+
+def device_busy_ms(xs) -> float:
+    """Total device-busy wall time (ms) across device planes.
+
+    Per plane the busy time is the MAX over lines (a TPU plane carries
+    parallel lines — e.g. 'XLA Modules' and the per-op 'XLA Ops' — that
+    describe the SAME execution at different granularity; summing them
+    would double-count). Used by bench.py to report a tunnel-independent
+    compute metric next to the wall-clock headline."""
+    total = 0.0
+    for plane in xs.planes:
+        name = plane.name.lower()
+        if "device:" not in name and "tpu" not in name:
+            continue
+        best = 0
+        for line in plane.lines:
+            if not line.events:
+                continue
+            spans = [
+                (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                for ev in line.events
+            ]
+            best = max(best, _busy_union_ps(spans))
+        total += best / 1e9
+    return total
+
+
 def summarize(xs, top: int = 30, by_line: bool = False) -> None:
     for plane in xs.planes:
         if "device:" not in plane.name.lower() and "tpu" not in plane.name.lower():
@@ -72,18 +116,7 @@ def summarize(xs, top: int = 30, by_line: bool = False) -> None:
                 by_name[name] += dur_ms
                 counts[name] += 1
                 spans.append((ev.offset_ps, ev.offset_ps + ev.duration_ps))
-            spans.sort()
-            busy = 0
-            cur_s, cur_e = None, None
-            for s, e in spans:
-                if cur_e is None or s > cur_e:
-                    if cur_e is not None:
-                        busy += cur_e - cur_s
-                    cur_s, cur_e = s, e
-                else:
-                    cur_e = max(cur_e, e)
-            if cur_e is not None:
-                busy += cur_e - cur_s
+            busy = _busy_union_ps(spans)
             label = line.display_name or line.name
             print(
                 f"\n-- line: {label}  events={len(line.events)}  "
