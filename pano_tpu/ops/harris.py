@@ -132,7 +132,7 @@ def _neighbor_max(resp: jnp.ndarray, neighborhood: int) -> jnp.ndarray:
 
 
 def harris_detect(
-    img_u8: jnp.ndarray, opts: HarrisOptions
+    img_u8: jnp.ndarray, opts: HarrisOptions, return_packed: bool = False
 ) -> KeyPoints:
     """Full Harris detection: gray -> response -> NMS -> masked top-K.
 
@@ -140,8 +140,15 @@ def harris_detect(
     ordered by descending response (the reference's scan order is row-major,
     src/serial/main.cpp:159-180 — order only affects tie-breaking downstream,
     which the acceptance gate treats statistically).
+
+    With return_packed=True, returns (kps, packed) where packed is the
+    b|g<<8|r<<16 i32 pixel plane (possibly row-padded beyond (h, w)) for
+    the descriptor gather — on the Pallas path it is emitted by the scores
+    kernel while the BGR tile is in VMEM, killing a separate full-image
+    convert+pack pass (ops/match.extract_patch_descriptors accepts it).
     """
     h, w = img_u8.shape[:2]
+    packed_plane = None
 
     use_kernel = (
         opts.use_pallas_scores
@@ -154,9 +161,14 @@ def harris_detect(
         # from the u8 image — the XLA gray chain never materializes.
         from pano_tpu.ops import pallas_harris
 
-        padded = pallas_harris.harris_scores(
-            img_u8, h, w, opts.k, opts.nms_thresh
-        )
+        if return_packed:
+            padded, packed_plane = pallas_harris.harris_scores(
+                img_u8, h, w, opts.k, opts.nms_thresh, emit_packed=True
+            )
+        else:
+            padded = pallas_harris.harris_scores(
+                img_u8, h, w, opts.k, opts.nms_thresh
+            )
     else:
         gray = bgr_to_gray_f32(img_u8)
         resp = harris_response(gray, opts.k)
@@ -240,9 +252,16 @@ def harris_detect(
         response = jnp.pad(response, (0, pad))
         valid = jnp.pad(valid, (0, pad))
 
-    return KeyPoints(xy=xy, response=response, valid=valid)
+    kps = KeyPoints(xy=xy, response=response, valid=valid)
+    if not return_packed:
+        return kps
+    if packed_plane is None:  # XLA path: pack here (same as the old
+        #                       in-gather packing, shared shape contract)
+        p32 = img_u8.astype(jnp.int32)
+        packed_plane = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
+    return kps, packed_plane
 
 
 harris_detect_jit = jax.jit(
-    harris_detect, static_argnames=("opts",)
+    harris_detect, static_argnames=("opts", "return_packed")
 )

@@ -56,13 +56,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def extract_patch_descriptors(
-    img_u8: jnp.ndarray, kps: KeyPoints, patch_size: int
+    img_u8: jnp.ndarray, kps: KeyPoints, patch_size: int,
+    packed_plane: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather P x P x 3 patches around keypoints into flat f32 descriptors.
 
     Returns (desc (K, Dpad) float32, border_valid (K,) bool). Descriptors of
     invalid keypoints are zeros. Border validity is the reference's clip test
     (src/serial/main.cpp:203-206 / :213-216).
+
+    `packed_plane` (optional): a precomputed b|g<<8|r<<16 i32 plane (its
+    dims may exceed (h, w) — kernel-tile padding; the extra pixels are
+    never indexed). The Pallas Harris kernel emits it while the BGR tile
+    is in VMEM (ops/pallas_harris.harris_scores emit_packed), saving this
+    function's own full-image convert+pack pass.
     """
     h, w = img_u8.shape[:2]
     border = patch_size // 2
@@ -89,9 +96,13 @@ def extract_patch_descriptors(
     # time over the ~13M-element flat operand is fine: 16.5 s cold for a
     # fresh 3000x3800 shape on v5e incl. the tunnel round trips — the
     # CLAUDE.md minutes-long jnp.take trap does not hit this formulation.
-    p32 = img_u8.astype(jnp.int32)
-    pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
-    idx = (ys[:, :, None] * w + xs[:, None, :]).reshape(k_cap, -1)
+    if packed_plane is None:
+        p32 = img_u8.astype(jnp.int32)
+        pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
+    else:
+        pk = packed_plane
+    stride = pk.shape[1]
+    idx = (ys[:, :, None] * stride + xs[:, None, :]).reshape(k_cap, -1)
     g = jnp.take(pk.reshape(-1), idx, axis=0)             # (K, P*P)
     patches = jnp.stack(
         [(g & 0xFF), (g >> 8) & 0xFF, (g >> 16) & 0xFF], axis=-1
@@ -305,15 +316,23 @@ def match_keypoints(
     img_q: jnp.ndarray,
     img_t: jnp.ndarray,
     opts: HarrisOptions,
+    packed_q: jnp.ndarray = None,
+    packed_t: jnp.ndarray = None,
 ) -> Matches:
     """Full matching stage: descriptors for both sides, then argmin-SSD.
 
     Signature mirrors seqHarrisMatchKeyPoints(keypointsL, keypointsR, image1,
     image2, options) (src/serial/main.cpp:188-192): `q` is the query side
-    (the reference's keypointsL/image1), `t` the train side.
+    (the reference's keypointsL/image1), `t` the train side. `packed_q` /
+    `packed_t` are optional prepacked i32 pixel planes from the Harris
+    kernel (see extract_patch_descriptors).
     """
-    desc_q, bq = extract_patch_descriptors(img_q, kps_q, opts.patch_size)
-    desc_t, bt = extract_patch_descriptors(img_t, kps_t, opts.patch_size)
+    desc_q, bq = extract_patch_descriptors(
+        img_q, kps_q, opts.patch_size, packed_plane=packed_q
+    )
+    desc_t, bt = extract_patch_descriptors(
+        img_t, kps_t, opts.patch_size, packed_plane=packed_t
+    )
     return match_descriptors(
         desc_q,
         bq,

@@ -231,8 +231,16 @@ def envelope_ok_device(
     return ok.all()
 
 
-def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
-                 *, has_alpha: bool = True):
+def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
+                 has_alpha: bool = True, emit_weight: bool = True):
+    if emit_weight:
+        w_ref, s_vmem, sem = w_and_scratch
+    else:
+        # Overlay compose never reads the weight map (warped-pixel
+        # validity is rgb != 0): skip the (out_h, out_w) f32 store — 62 MB
+        # of dead HBM traffic on a 4K canvas window.
+        w_ref = None
+        s_vmem, sem = w_and_scratch
     """One (TH, TW) output tile; see module docstring for the algorithm.
 
     The source window DMA is double-buffered across grid steps: pallas runs
@@ -359,7 +367,8 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
     @pl.when(jnp.logical_not(tile_hits))
     def _():
         rgb_ref[...] = jnp.zeros((TH, TW), jnp.int32)
-        w_ref[...] = jnp.zeros((TH, TW), jnp.float32)
+        if emit_weight:
+            w_ref[...] = jnp.zeros((TH, TW), jnp.float32)
 
     # --- per-chunk two-pass resample -----------------------------------
     def chunk_body(c, _):
@@ -500,7 +509,9 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
                     v = ((q >> (8 * p)) & 0xFF).astype(jnp.float32)
                     acc[p] = acc[p] + v * wgt
 
-        if has_alpha:
+        if not emit_weight:
+            alpha_w = None
+        elif has_alpha:
             alpha_w = acc[3] * (1.0 / 127.0)
         else:
             # Analytic border weight: a tap at padded coord t is a real
@@ -522,7 +533,8 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, w_ref, s_vmem, sem,
         packed = bgr[0] | (bgr[1] << 8) | (bgr[2] << 16)
 
         rgb_ref[pl.ds(c * 8, 8), :] = packed
-        w_ref[pl.ds(c * 8, 8), :] = alpha_w
+        if emit_weight:
+            w_ref[pl.ds(c * 8, 8), :] = alpha_w
         return 0
 
     @pl.when(tile_hits)
@@ -555,7 +567,7 @@ def make_params(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "has_alpha")
+    jax.jit, static_argnames=("out_h", "out_w", "has_alpha", "emit_weight")
 )
 def warp_packed(
     src_packed: jnp.ndarray,   # (Hp, Wp) int32 from pack_bgra
@@ -563,6 +575,7 @@ def warp_packed(
     out_h: int,
     out_w: int,
     has_alpha: bool = True,
+    emit_weight: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp the packed source onto an (out_h, out_w) canvas window.
 
@@ -570,33 +583,39 @@ def warp_packed(
     out_h/out_w must be multiples of the 128 tile size. With
     has_alpha=False (overlay blends, constant packed alpha) the weight map
     is the exact analytic border weight and the kernel skips resampling
-    the alpha channel (~25% less gather/mix work).
+    the alpha channel (~25% less gather/mix work). With emit_weight=False
+    (overlay compose, which keys validity on rgb != 0 and never reads the
+    weight) the weight output is dropped entirely — no f32 store, no
+    weight math — and None is returned in its place.
     """
     assert out_h % TH == 0 and out_w % TW == 0, (out_h, out_w)
     grid = (out_h // TH, out_w // TW)
-    rgb, w = pl.pallas_call(
-        functools.partial(_warp_kernel, has_alpha=has_alpha),
+    tile_spec = pl.BlockSpec(
+        (TH, TW), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+    )
+    out_specs = [tile_spec, tile_spec] if emit_weight else [tile_spec]
+    out_shape = [jax.ShapeDtypeStruct((out_h, out_w), jnp.int32)]
+    if emit_weight:
+        out_shape.append(jax.ShapeDtypeStruct((out_h, out_w), jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(
+            _warp_kernel, has_alpha=has_alpha, emit_weight=emit_weight
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=[
-                pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
-                             memory_space=pltpu.VMEM),
-            ],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((2, WIN_H, WIN_W), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((out_h, out_w), jnp.int32),
-            jax.ShapeDtypeStruct((out_h, out_w), jnp.float32),
-        ],
+        out_shape=out_shape,
     )(params, src_packed)
-    return rgb, w
+    if emit_weight:
+        return out[0], out[1]
+    return out[0], None
 
 
 def unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:

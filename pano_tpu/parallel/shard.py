@@ -67,9 +67,16 @@ def _pair_points(left, right, harris_opts):
     Matching direction follows the pipeline: right image is the query, left
     the train, so H maps right->left (src/serial/main.cpp:319-328).
     """
-    kps_l = harris_ops.harris_detect(left, harris_opts)
-    kps_r = harris_ops.harris_detect(right, harris_opts)
-    m = match_ops.match_keypoints(kps_r, kps_l, right, left, harris_opts)
+    kps_l, pk_l = harris_ops.harris_detect(
+        left, harris_opts, return_packed=True
+    )
+    kps_r, pk_r = harris_ops.harris_detect(
+        right, harris_opts, return_packed=True
+    )
+    m = match_ops.match_keypoints(
+        kps_r, kps_l, right, left, harris_opts,
+        packed_q=pk_r, packed_t=pk_l,
+    )
     return match_ops.gather_match_points(kps_r, kps_l, m)
 
 
@@ -692,9 +699,9 @@ def stitch_all_images_auto_sharded(
     # image dispatches, pipelined by the async queue).
     @jax.jit
     def det(img):
-        kps = harris_ops.harris_detect(img, cfg_h)
+        kps, pk = harris_ops.harris_detect(img, cfg_h, return_packed=True)
         desc, bv = match_ops.extract_patch_descriptors(
-            img, kps, cfg_h.patch_size
+            img, kps, cfg_h.patch_size, packed_plane=pk
         )
         return kps.xy, desc, bv
 

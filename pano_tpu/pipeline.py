@@ -128,10 +128,15 @@ class PairStitcher:
         [H.ravel() (9), inlier_count, num_matches, ok, match_count, 0].
         """
         h_opts, r_opts = self.config.harris, self.config.ransac
-        kps_l = harris_ops.harris_detect(left, h_opts)
-        kps_r = harris_ops.harris_detect(right, h_opts)
+        kps_l, pk_l = harris_ops.harris_detect(
+            left, h_opts, return_packed=True
+        )
+        kps_r, pk_r = harris_ops.harris_detect(
+            right, h_opts, return_packed=True
+        )
         matches = match_ops.match_keypoints(
-            kps_r, kps_l, right, left, h_opts
+            kps_r, kps_l, right, left, h_opts,
+            packed_q=pk_r, packed_t=pk_l,
         )
         pts_q, pts_t, valid = match_ops.gather_match_points(
             kps_r, kps_l, matches
@@ -381,9 +386,13 @@ class PairStitcher:
         )
 
         has_alpha = cfg.blend in ("feather", "multiband")
+        # Overlay-without-gain never reads the warped weight map (validity
+        # is rgb != 0): drop the kernel's f32 weight output entirely.
+        need_w = cfg.blend != "overlay" or cfg.gain_compensation
         params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
         rgb_win, w_win = pallas_warp.warp_packed(
-            packed_src, params, win_h, win_w, has_alpha=has_alpha
+            packed_src, params, win_h, win_w, has_alpha=has_alpha,
+            emit_weight=need_w,
         )
 
         # Every blend mode runs the ONE-PASS pallas composite (the aligned
@@ -931,9 +940,11 @@ def stitch_all_images_auto(
     @functools.lru_cache(maxsize=None)
     def detect_fn(shape):
         def f(img):
-            kps = harris_ops.harris_detect(img, cfg_h)
+            kps, pk = harris_ops.harris_detect(
+                img, cfg_h, return_packed=True
+            )
             desc, bv = match_ops.extract_patch_descriptors(
-                img, kps, cfg_h.patch_size
+                img, kps, cfg_h.patch_size, packed_plane=pk
             )
             return kps, desc, bv
 

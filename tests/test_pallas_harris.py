@@ -78,3 +78,24 @@ def test_kernel_border_semantics(rng):
     np.testing.assert_array_equal(
         np.isneginf(got[:4, :]), np.isneginf(want[:4, :])
     )
+
+
+def test_emit_packed_plane(img=None):
+    """emit_packed: the kernel's packed plane must equal the XLA
+    b|g<<8|r<<16 packing on real pixels (zeros in tile padding), and the
+    score map must be unchanged."""
+    r = np.random.default_rng(3)
+    im = r.integers(0, 256, (150, 300, 3)).astype(np.uint8)
+    h, w = im.shape[:2]
+    with pltpu.force_tpu_interpret_mode():
+        scores, packed = PH.harris_scores(
+            jnp.asarray(im), h, w, 0.04, 1e8, emit_packed=True
+        )
+        ref_scores = PH.harris_scores(jnp.asarray(im), h, w, 0.04, 1e8)
+    scores, packed = np.asarray(scores), np.asarray(packed)
+    np.testing.assert_array_equal(scores, np.asarray(ref_scores))
+
+    p32 = im.astype(np.int64)
+    ref_pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
+    np.testing.assert_array_equal(packed[:h, :w], ref_pk)
+    assert (packed[h:] == 0).all() and (packed[:, w:] == 0).all()

@@ -195,3 +195,21 @@ def test_mip_warp_matches_downsampled_oracle():
     inb = np.asarray(ref_w) > 0.5
     d = np.abs(out.astype(int) - ref.astype(int))[inb]
     assert d.max() <= 2, d.max()
+
+
+def test_emit_weight_false_same_rgb(img):
+    """emit_weight=False must produce the identical packed RGB with the
+    weight output dropped (returned as None)."""
+    m = np.eye(3)
+    m[0, 2], m[1, 2] = 11.5, 3.25
+    m_inv = np.linalg.inv(m)
+    packed = PW.pack_bgra(jnp.asarray(img), None)
+    params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
+    with pltpu.force_tpu_interpret_mode():
+        rgb_w, w = PW.warp_packed(packed, params, 128, 256, has_alpha=False)
+        rgb_nw, w_none = PW.warp_packed(
+            packed, params, 128, 256, has_alpha=False, emit_weight=False
+        )
+    assert w_none is None
+    np.testing.assert_array_equal(np.asarray(rgb_w), np.asarray(rgb_nw))
+    assert np.asarray(w).max() > 0.99
