@@ -56,6 +56,10 @@ class HarrisOptions:
     use_pallas_scores: bool = True  # fused Pallas Harris-score kernel on TPU
     #                                (requires nms_neighborhood == 3; falls
     #                                back to the XLA chain otherwise / on CPU)
+    use_pallas_gather: bool = True  # band-DMA Pallas descriptor-gather kernel
+    #                                on TPU (needs the tile-padded packed
+    #                                plane from the scores kernel; falls back
+    #                                to the flat XLA gather otherwise)
 
     def __post_init__(self):
         if self.nms_neighborhood % 2 != 1:

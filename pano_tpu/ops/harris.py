@@ -132,7 +132,8 @@ def _neighbor_max(resp: jnp.ndarray, neighborhood: int) -> jnp.ndarray:
 
 
 def harris_detect(
-    img_u8: jnp.ndarray, opts: HarrisOptions, return_packed: bool = False
+    img_u8: jnp.ndarray, opts: HarrisOptions, return_packed: bool = False,
+    pack_mode: str = "plain",
 ) -> KeyPoints:
     """Full Harris detection: gray -> response -> NMS -> masked top-K.
 
@@ -146,6 +147,12 @@ def harris_detect(
     the descriptor gather — on the Pallas path it is emitted by the scores
     kernel while the BGR tile is in VMEM, killing a separate full-image
     convert+pack pass (ops/match.extract_patch_descriptors accepts it).
+
+    `pack_mode` ("plain" / "warp_const" / "warp_ramp", Pallas path only —
+    see pallas_harris._make_kernel): the warp modes shift the plane by
+    (1, 1) and carry pack_bgra's alpha byte so it doubles as the warp
+    kernel's packed source; the descriptor gather then needs
+    plane_origin=1 (ops/match.extract_patch_descriptors).
     """
     h, w = img_u8.shape[:2]
     packed_plane = None
@@ -155,6 +162,13 @@ def harris_detect(
         and opts.nms_neighborhood == 3
         and jax.default_backend() == "tpu"
     )
+    if not use_kernel:
+        # Callers request warp pack modes only under the exact gate above
+        # (pipeline._src_pack_mode duplicates it); a silent "plain" plane
+        # here would corrupt the warp source downstream.
+        assert pack_mode == "plain", (
+            "warp pack modes require the Pallas scores kernel"
+        )
     if use_kernel:
         # Fused Pallas kernel: the whole gray->response->NMS->threshold
         # chain in one VMEM-resident pass (ops/pallas_harris.py) straight
@@ -163,7 +177,7 @@ def harris_detect(
 
         if return_packed:
             padded, packed_plane = pallas_harris.harris_scores(
-                img_u8, h, w, opts.k, opts.nms_thresh, emit_packed=True
+                img_u8, h, w, opts.k, opts.nms_thresh, pack_mode=pack_mode
             )
         else:
             padded = pallas_harris.harris_scores(

@@ -58,6 +58,8 @@ def _round_up(x: int, m: int) -> int:
 def extract_patch_descriptors(
     img_u8: jnp.ndarray, kps: KeyPoints, patch_size: int,
     packed_plane: jnp.ndarray = None,
+    use_pallas: "bool | None" = None,
+    plane_origin: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather P x P x 3 patches around keypoints into flat f32 descriptors.
 
@@ -67,9 +69,19 @@ def extract_patch_descriptors(
 
     `packed_plane` (optional): a precomputed b|g<<8|r<<16 i32 plane (its
     dims may exceed (h, w) — kernel-tile padding; the extra pixels are
-    never indexed). The Pallas Harris kernel emits it while the BGR tile
-    is in VMEM (ops/pallas_harris.harris_scores emit_packed), saving this
-    function's own full-image convert+pack pass.
+    never indexed; bits 24+ are ignored, so an alpha byte may ride along).
+    The Pallas Harris kernel emits it while the BGR tile is in VMEM
+    (ops/pallas_harris.harris_scores emit_packed), saving this function's
+    own full-image convert+pack pass.
+
+    `use_pallas`: None = auto (band-DMA Pallas gather kernel on TPU when
+    the plane's tiling permits, ops/pallas_gather.py — it also skips the
+    flat reshape of the plane that feeds XLA's gather); True forces the
+    kernel (interpret-mode tests); False forces the XLA `jnp.take` path.
+
+    `plane_origin`: plane slot of image pixel (0, 0) — 1 for the
+    warp-source planes the Harris kernel emits under a warp pack mode
+    (slot (y, x) = pixel (y-1, x-1), see pallas_harris._make_kernel).
     """
     h, w = img_u8.shape[:2]
     border = patch_size // 2
@@ -101,9 +113,36 @@ def extract_patch_descriptors(
         pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
     else:
         pk = packed_plane
-    stride = pk.shape[1]
-    idx = (ys[:, :, None] * stride + xs[:, None, :]).reshape(k_cap, -1)
-    g = jnp.take(pk.reshape(-1), idx, axis=0)             # (K, P*P)
+
+    if use_pallas is None:
+        from pano_tpu.ops import pallas_gather
+
+        use_pallas = (
+            packed_plane is not None
+            and patch_size <= 8
+            and jax.default_backend() == "tpu"
+            and pk.shape[0] % 8 == 0
+            and pk.shape[1] % 128 == 0
+            and pk.shape[0] >= pallas_gather.WIN_R
+            and pk.shape[1] >= pallas_gather.LANES
+        )
+    if use_pallas:
+        from pano_tpu.ops import pallas_gather
+
+        o = plane_origin
+        g = pallas_gather.gather_patches(
+            pk,
+            y.astype(jnp.int32) + o,
+            x.astype(jnp.int32) + o,
+            h=h + 2 * o, w=w + 2 * o, p=patch_size,
+        )                                                 # (K, P*P)
+    else:
+        stride = pk.shape[1]
+        idx = (
+            (ys[:, :, None] + plane_origin) * stride
+            + (xs[:, None, :] + plane_origin)
+        ).reshape(k_cap, -1)
+        g = jnp.take(pk.reshape(-1), idx, axis=0)         # (K, P*P)
     patches = jnp.stack(
         [(g & 0xFF), (g >> 8) & 0xFF, (g >> 16) & 0xFF], axis=-1
     )
@@ -318,6 +357,8 @@ def match_keypoints(
     opts: HarrisOptions,
     packed_q: jnp.ndarray = None,
     packed_t: jnp.ndarray = None,
+    plane_origin_q: int = 0,
+    plane_origin_t: int = 0,
 ) -> Matches:
     """Full matching stage: descriptors for both sides, then argmin-SSD.
 
@@ -325,13 +366,18 @@ def match_keypoints(
     image2, options) (src/serial/main.cpp:188-192): `q` is the query side
     (the reference's keypointsL/image1), `t` the train side. `packed_q` /
     `packed_t` are optional prepacked i32 pixel planes from the Harris
-    kernel (see extract_patch_descriptors).
+    kernel (see extract_patch_descriptors); `plane_origin_*` is 1 when the
+    corresponding plane uses the shifted warp-source convention.
     """
     desc_q, bq = extract_patch_descriptors(
-        img_q, kps_q, opts.patch_size, packed_plane=packed_q
+        img_q, kps_q, opts.patch_size, packed_plane=packed_q,
+        use_pallas=None if opts.use_pallas_gather else False,
+        plane_origin=plane_origin_q,
     )
     desc_t, bt = extract_patch_descriptors(
-        img_t, kps_t, opts.patch_size, packed_plane=packed_t
+        img_t, kps_t, opts.patch_size, packed_plane=packed_t,
+        use_pallas=None if opts.use_pallas_gather else False,
+        plane_origin=plane_origin_t,
     )
     return match_descriptors(
         desc_q,

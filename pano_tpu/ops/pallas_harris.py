@@ -59,41 +59,55 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pad_bgr(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, 3) u8 -> (3, Hp, Wp) u8 planes, image at offset
+def pad_bgr(imgs_u8: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) u8 -> (B, 3, Hp, Wp) u8 planes, image at offset
     (PAD_R, PAD_C), zero elsewhere. The transpose is a layout bitcast on
     TPU (u8 HWC is stored channel-planar, {1,0,2})."""
-    h, w = img_u8.shape[:2]
+    h, w = imgs_u8.shape[1:3]
     nti = -(-h // TH)
     ntj = -(-w // TW)
     hp = nti * TH + 2 * PAD_R
     wp = ntj * TW + 2 * PAD_C
-    chw = jnp.transpose(img_u8, (2, 0, 1))
+    chw = jnp.transpose(imgs_u8, (0, 3, 1, 2))
     return jnp.pad(
-        chw, ((0, 0), (PAD_R, hp - h - PAD_R), (PAD_C, wp - w - PAD_C))
+        chw,
+        ((0, 0), (0, 0), (PAD_R, hp - h - PAD_R), (PAD_C, wp - w - PAD_C)),
     )
 
 
 def _make_kernel(
     h: int, w: int, k: float, nms_thresh: float, nti: int, ntj: int,
-    emit_packed: bool = False,
+    nb: int, pack_mode: "str | None" = None,
 ):
     """Kernel closure over static image dims and Harris constants.
 
-    With emit_packed, a second output carries the b|g<<8|r<<16 packed i32
-    pixel plane — the descriptor-gather source (ops/match.py
+    With pack_mode set, a second output carries the b|g<<8|r<<16 packed
+    i32 pixel plane — the descriptor-gather source (ops/match.py
     extract_patch_descriptors). The BGR tile is already in VMEM for the
     gray conversion, so this replaces a separate XLA u8->i32 convert +
     pack pass over the full image (~0.5 ms per 13 MP image on v5e) with
-    one extra VMEM shift-or and the tile write."""
+    one extra VMEM shift-or and the tile write. Modes:
+
+      * "plain": plane slot (y, x) = image pixel (y, x), no alpha byte.
+      * "warp_const" / "warp_ramp": the plane doubles as the warp
+        kernel's packed source (ops/pallas_warp.warp_packed), replacing
+        the separate pack_bgra dispatch over the full image: slot
+        (y, x) = pixel (y-1, x-1) — the 1-px black border convention —
+        with pack_bgra's alpha byte OR'd in (127 inside the image for
+        "warp_const"; the feather edge ramp, bit-identical to
+        warp._edge_ramp -> pack_bgra quantization, for "warp_ramp").
+        The descriptor gather compensates via its plane_origin=1 offset.
+    """
+    emit_packed = pack_mode is not None
 
     def kernel(bgr_ref, out_ref, *rest):
         if emit_packed:
             pk_ref, wbuf, sem = rest
         else:
             (wbuf, sem) = rest
-        ti = pl.program_id(0)
-        tj = pl.program_id(1)
+        bb = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
 
         # Double-buffered window DMA (same pattern as ops/pallas_warp): at
         # step t wait on the window prefetched at step t-1 and immediately
@@ -101,14 +115,17 @@ def _make_kernel(
         # stencil compute. The window is the 3 u8 channel planes; gray
         # conversion happens in VMEM (saves the XLA gray chain, its f32
         # HBM round trip, AND 25% of the DMA bytes vs an f32 gray window).
-        step = ti * ntj + tj
+        # The leading grid axis is the image batch (1 for the single-image
+        # path; >1 under the custom_vmap rule) — prefetch runs straight
+        # across the batch boundary.
+        step = (bb * nti + ti) * ntj + tj
         slot = lax.rem(step, 2)
         next_slot = lax.rem(step + 1, 2)
 
-        def start_dma(tii, tjj, into_slot):
+        def start_dma(bbb, tii, tjj, into_slot):
             pltpu.make_async_copy(
                 bgr_ref.at[
-                    :, pl.ds(tii * TH, WIN_R), pl.ds(tjj * TW, WIN_C)
+                    bbb, :, pl.ds(tii * TH, WIN_R), pl.ds(tjj * TW, WIN_C)
                 ],
                 wbuf.at[into_slot],
                 sem.at[into_slot],
@@ -116,16 +133,17 @@ def _make_kernel(
 
         @pl.when(step == 0)
         def _():
-            start_dma(ti, tj, slot)
+            start_dma(bb, ti, tj, slot)
 
-        @pl.when(step + 1 < nti * ntj)
+        @pl.when(step + 1 < nb * nti * ntj)
         def _():
-            tj1 = lax.rem(tj + 1, ntj)
-            ti1 = ti + (tj + 1) // ntj
-            start_dma(ti1, tj1, next_slot)
+            s1 = step + 1
+            bb1 = s1 // (nti * ntj)
+            r1 = s1 - bb1 * (nti * ntj)
+            start_dma(bb1, r1 // ntj, lax.rem(r1, ntj), next_slot)
 
         pltpu.make_async_copy(
-            bgr_ref.at[:, pl.ds(0, WIN_R), pl.ds(0, WIN_C)],  # shape for wait
+            bgr_ref.at[0, :, pl.ds(0, WIN_R), pl.ds(0, WIN_C)],  # shape
             wbuf.at[slot],
             sem.at[slot],
         ).wait()
@@ -143,20 +161,52 @@ def _make_kernel(
             + 0.587 * gi.astype(jnp.float32)
             + 0.299 * ri.astype(jnp.float32)
         )
-        if emit_packed:
-            # Packed descriptor-gather plane for the tile's pixels (the
-            # window carries pixel q at (q_r + PAD_R, q_c + PAD_C)).
-            pk_ref[...] = (
-                bi[PAD_R : PAD_R + TH, PAD_C : PAD_C + TW]
-                | (gi[PAD_R : PAD_R + TH, PAD_C : PAD_C + TW] << 8)
-                | (ri[PAD_R : PAD_R + TH, PAD_C : PAD_C + TW] << 16)
-            )
-
         # Tile-local pixel q lives at window index (q + PAD_R - 0, ...):
         # window origin is padded (ti*TH, tj*TW) == pixel (ti*TH - PAD_R,
         # tj*TW - PAD_C), so pixel q -> window (q_r + 8, q_c + 128).
         row0 = ti * TH  # global pixel row of tile-local 0
         col0 = tj * TW
+
+        if emit_packed:
+            # Packed descriptor-gather plane for the tile's pixels (the
+            # window carries pixel q at (q_r + PAD_R, q_c + PAD_C)). Warp
+            # modes write the slot-(y,x)=pixel-(y-1,x-1) shifted view —
+            # the u8 padding supplies the 1-px black border — and OR in
+            # pack_bgra's alpha byte so the plane IS a valid warp source.
+            sr = PAD_R if pack_mode == "plain" else PAD_R - 1
+            sc = PAD_C if pack_mode == "plain" else PAD_C - 1
+            pkv = (
+                bi[sr : sr + TH, sc : sc + TW]
+                | (gi[sr : sr + TH, sc : sc + TW] << 8)
+                | (ri[sr : sr + TH, sc : sc + TW] << 16)
+            )
+            if pack_mode != "plain":
+                gy = (
+                    lax.broadcasted_iota(jnp.int32, (TH, TW), 0)
+                    + (row0 - 1)
+                )
+                gx = (
+                    lax.broadcasted_iota(jnp.int32, (TH, TW), 1)
+                    + (col0 - 1)
+                )
+                inside = (gy >= 0) & (gy < h) & (gx >= 0) & (gx < w)
+                if pack_mode == "warp_const":
+                    alpha = jnp.where(inside, 127, 0)
+                else:  # warp_ramp: pack_bgra(img, _edge_ramp) bit-compat
+                    gyf = gy.astype(jnp.float32)
+                    gxf = gx.astype(jnp.float32)
+                    d = jnp.minimum(
+                        jnp.minimum(gxf + 1.0, w - gxf),
+                        jnp.minimum(gyf + 1.0, h - gyf),
+                    )
+                    a = jnp.clip(
+                        jnp.round(d / float(min(h, w) / 2.0) * 127.0),
+                        1.0,
+                        127.0,
+                    ).astype(jnp.int32)
+                    alpha = jnp.where(inside, a, 0)
+                pkv = pkv | (alpha << 24)
+            pk_ref[0] = pkv
 
         def grad(kern):
             # Gradient over pixels q in [-3, TH+3) x [-3, TW+3).
@@ -237,53 +287,47 @@ def _make_kernel(
         cc = lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + col0
         border_ok = (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w - 1)
         is_peak = (center > nms_thresh) & (center > nmax) & border_ok
-        out_ref[...] = jnp.where(is_peak, center, -jnp.inf)
+        out_ref[0] = jnp.where(is_peak, center, -jnp.inf)
 
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("h", "w", "k", "nms_thresh", "emit_packed")
-)
-def harris_scores(
-    img_u8: jnp.ndarray, h: int, w: int, k: float, nms_thresh: float,
-    emit_packed: bool = False,
+def _scores_batched(
+    imgs_u8: jnp.ndarray, h: int, w: int, k: float, nms_thresh: float,
+    pack_mode: "str | None",
 ):
-    """Fused NMS'd Harris score map from the raw BGR u8 image (gray
-    conversion happens inside the kernel).
-
-    `img_u8` is the (H, W, 3) u8 image (un-padded); returns the
-    (round_up(H, TH), round_up(W, TW)) score map with -inf at non-peaks and
-    everywhere outside the image. With emit_packed=True, returns
-    (scores, packed) where packed is the same-shape i32 b|g<<8|r<<16 plane
-    (zeros outside the image) — the descriptor-gather source, emitted here
-    because the BGR tile is already in VMEM (kills a separate XLA
-    convert+pack pass over the full image).
-    """
-    padded = pad_bgr(img_u8)
+    """(B, H, W, 3) u8 -> batched score map(s) via one (B, nti, ntj)-grid
+    kernel launch (the batch rides the leading grid axis; DMA prefetch
+    streams straight across image boundaries)."""
+    emit_packed = pack_mode is not None
+    nb = imgs_u8.shape[0]
+    padded = pad_bgr(imgs_u8)
     nti = -(-h // TH)
     ntj = -(-w // TW)
     out_specs = pl.BlockSpec(
-        (TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (1, TH, TW), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((nti * TH, ntj * TW), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct(
+        (nb, nti * TH, ntj * TW), jnp.float32
+    )
     if emit_packed:
         out_specs = [
             out_specs,
             pl.BlockSpec(
-                (TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (1, TH, TW), lambda b, i, j: (b, i, j),
+                memory_space=pltpu.VMEM,
             ),
         ]
         out_shape = [
             out_shape,
-            jax.ShapeDtypeStruct((nti * TH, ntj * TW), jnp.int32),
+            jax.ShapeDtypeStruct((nb, nti * TH, ntj * TW), jnp.int32),
         ]
     return pl.pallas_call(
         _make_kernel(
-            h, w, float(k), float(nms_thresh), nti, ntj,
-            emit_packed=emit_packed,
+            h, w, float(k), float(nms_thresh), nti, ntj, nb,
+            pack_mode=pack_mode,
         ),
-        grid=(nti, ntj),
+        grid=(nb, nti, ntj),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -292,3 +336,53 @@ def harris_scores(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(padded)
+
+
+@functools.lru_cache(maxsize=None)
+def _scores_fn(h: int, w: int, k: float, nms_thresh: float, pack_mode):
+    """Single-image scores function with a custom vmap rule: batching maps
+    to the natively-batched kernel launch instead of jax's generic
+    pallas_call batching (which cannot lower ANY-memory-space inputs on
+    Mosaic — the sharded entry points vmap this via harris_detect)."""
+    emit_packed = pack_mode is not None
+
+    @jax.custom_batching.custom_vmap
+    def f(img):
+        out = _scores_batched(img[None], h, w, k, nms_thresh, pack_mode)
+        if emit_packed:
+            return out[0][0], out[1][0]
+        return out[0]
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):  # noqa: ARG001
+        assert in_batched[0], "harris_scores vmap: image must be batched"
+        out = _scores_batched(img, h, w, k, nms_thresh, pack_mode)
+        return (tuple(out), (True, True)) if emit_packed else (out, True)
+
+    return f
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "k", "nms_thresh", "pack_mode")
+)
+def harris_scores(
+    img_u8: jnp.ndarray, h: int, w: int, k: float, nms_thresh: float,
+    pack_mode: "str | None" = None,
+):
+    """Fused NMS'd Harris score map from the raw BGR u8 image (gray
+    conversion happens inside the kernel).
+
+    `img_u8` is the (H, W, 3) u8 image (un-padded); returns the
+    (round_up(H, TH), round_up(W, TW)) score map with -inf at non-peaks and
+    everywhere outside the image. With pack_mode set ("plain" /
+    "warp_const" / "warp_ramp", see _make_kernel), returns
+    (scores, packed) where packed is the same-shape i32 b|g<<8|r<<16 plane
+    (zeros outside the image) — the descriptor-gather source, emitted here
+    because the BGR tile is already in VMEM (kills a separate XLA
+    convert+pack pass over the full image). The warp modes additionally
+    make the plane a drop-in pallas_warp source (shifted + alpha byte).
+
+    vmap-safe: batching lowers to ONE (B, nti, ntj)-grid kernel (see
+    _scores_fn), so the sharded batch paths run the real Mosaic kernel.
+    """
+    return _scores_fn(h, w, float(k), float(nms_thresh), pack_mode)(img_u8)

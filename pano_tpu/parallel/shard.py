@@ -701,7 +701,8 @@ def stitch_all_images_auto_sharded(
     def det(img):
         kps, pk = harris_ops.harris_detect(img, cfg_h, return_packed=True)
         desc, bv = match_ops.extract_patch_descriptors(
-            img, kps, cfg_h.patch_size, packed_plane=pk
+            img, kps, cfg_h.patch_size, packed_plane=pk,
+            use_pallas=None if cfg_h.use_pallas_gather else False,
         )
         return kps.xy, desc, bv
 

@@ -34,6 +34,7 @@ from pano_tpu.config import DEFAULT_CONFIG, PanoConfig
 from pano_tpu.ops import harris as harris_ops
 from pano_tpu.ops import match as match_ops
 from pano_tpu.ops import pallas_compose
+from pano_tpu.ops import pallas_harris
 from pano_tpu.ops import pallas_warp
 from pano_tpu.ops import ransac as ransac_ops
 from pano_tpu.ops import warp as warp_ops
@@ -107,6 +108,12 @@ class PairStitcher:
         # contract). Match points stay on device; the OpenCV fallback path
         # fetches them lazily on the rare low-inlier branch.
         self._fused_estimate = jax.jit(self._fused_estimate_impl)
+        # Variant for the fused pair stitch: additionally returns the right
+        # image's packed plane in the warp-source convention (or None),
+        # letting the compose skip the separate pack_bgra dispatch.
+        self._fused_estimate_src = jax.jit(
+            functools.partial(self._fused_estimate_impl, return_src=True)
+        )
 
     # --- device stages -----------------------------------------------------
 
@@ -121,22 +128,57 @@ class PairStitcher:
             )
         return kps
 
-    def _fused_estimate_impl(self, left, right):
+    def _src_pack_mode(self, shape) -> Optional[str]:
+        """Pack mode under which the Harris kernel's packed plane for an
+        image of this shape doubles as the warp kernel's source (killing
+        the separate pack_bgra dispatch, ~0.7 ms/pair on v5e), or None
+        when the config/backend/geometry can't support it. Mirrors
+        harris_detect's Pallas gate exactly (it asserts on mismatch)."""
+        h, w = shape[:2]
+        cfg = self.config
+        hp = -(-h // pallas_harris.TH) * pallas_harris.TH
+        wp = -(-w // pallas_harris.TW) * pallas_harris.TW
+        ok = (
+            cfg.harris.use_pallas_scores
+            and cfg.harris.nms_neighborhood == 3
+            and cfg.stitch.use_pallas_warp
+            and jax.default_backend() == "tpu"
+            # bottom/right border rows must fit in the tile padding, and
+            # the plane must cover at least one warp source window
+            and hp >= h + 2 and wp >= w + 2
+            and hp >= pallas_warp.WIN_H and wp >= pallas_warp.WIN_W
+        )
+        if not ok:
+            return None
+        return (
+            "warp_ramp"
+            if cfg.stitch.blend in ("feather", "multiband")
+            else "warp_const"
+        )
+
+    def _fused_estimate_impl(self, left, right, return_src=False):
         """detect x2 -> match -> RANSAC as one graph.
 
         Returns (packed (14,) f32, match points) where packed =
         [H.ravel() (9), inlier_count, num_matches, ok, match_count, 0].
+        With return_src, a third element carries the right image's packed
+        plane in the warp-source convention (the Harris kernel emits it
+        while the BGR tile is in VMEM — see _src_pack_mode), or None when
+        that path is unavailable.
         """
         h_opts, r_opts = self.config.harris, self.config.ransac
+        src_mode = self._src_pack_mode(right.shape) if return_src else None
         kps_l, pk_l = harris_ops.harris_detect(
             left, h_opts, return_packed=True
         )
         kps_r, pk_r = harris_ops.harris_detect(
-            right, h_opts, return_packed=True
+            right, h_opts, return_packed=True,
+            pack_mode=src_mode or "plain",
         )
         matches = match_ops.match_keypoints(
             kps_r, kps_l, right, left, h_opts,
             packed_q=pk_r, packed_t=pk_l,
+            plane_origin_q=1 if src_mode else 0,
         )
         pts_q, pts_t, valid = match_ops.gather_match_points(
             kps_r, kps_l, matches
@@ -156,6 +198,10 @@ class PairStitcher:
                 ),
             ]
         )
+        if return_src:
+            return packed, (pts_q, pts_t, valid), (
+                pk_r if src_mode else None
+            )
         return packed, (pts_q, pts_t, valid)
 
     def match(self, kps_q, kps_t, img_q, img_t) -> match_ops.Matches:
@@ -253,8 +299,11 @@ class PairStitcher:
         """
 
         def run(left, right):
-            packed, pts = self._fused_estimate(left, right)
-            packed_src = self._pack_src()(right)
+            packed, pts, src_plane = self._fused_estimate_src(left, right)
+            packed_src = (
+                src_plane if src_plane is not None
+                else self._pack_src()(right)
+            )
             hr, wr = right.shape[:2]
             packed_out, canvas = self._fused_compose(tier, hr, wr)(
                 left, packed_src, packed
@@ -541,8 +590,17 @@ class PairStitcher:
         # Estimate ONCE; every tier attempt and the staged fallback reuse
         # the on-device estimate (a tier-0 coverage miss used to re-run
         # detect x2 + match + RANSAC — the most expensive work — per tier).
-        est_packed, pts = self._fused_estimate(left_dev, right_dev)
-        packed_src = self._pack_src()(right_dev)
+        est_packed, pts, src_plane = self._fused_estimate_src(
+            left_dev, right_dev
+        )
+        # The estimate's Harris kernel emits the right image's packed
+        # plane in the warp-source convention when it can (shifted +
+        # alpha byte, _src_pack_mode); only fall back to the separate
+        # pack_bgra dispatch when it can't.
+        packed_src = (
+            src_plane if src_plane is not None
+            else self._pack_src()(right_dev)
+        )
         hr, wr = right_dev.shape[:2]
         v = None
         for tier in range(len(self._WIN_TIERS)):
@@ -944,7 +1002,8 @@ def stitch_all_images_auto(
                 img, cfg_h, return_packed=True
             )
             desc, bv = match_ops.extract_patch_descriptors(
-                img, kps, cfg_h.patch_size, packed_plane=pk
+                img, kps, cfg_h.patch_size, packed_plane=pk,
+                use_pallas=None if cfg_h.use_pallas_gather else False,
             )
             return kps, desc, bv
 

@@ -81,7 +81,7 @@ def test_kernel_border_semantics(rng):
 
 
 def test_emit_packed_plane(img=None):
-    """emit_packed: the kernel's packed plane must equal the XLA
+    """pack_mode="plain": the kernel's packed plane must equal the XLA
     b|g<<8|r<<16 packing on real pixels (zeros in tile padding), and the
     score map must be unchanged."""
     r = np.random.default_rng(3)
@@ -89,7 +89,7 @@ def test_emit_packed_plane(img=None):
     h, w = im.shape[:2]
     with pltpu.force_tpu_interpret_mode():
         scores, packed = PH.harris_scores(
-            jnp.asarray(im), h, w, 0.04, 1e8, emit_packed=True
+            jnp.asarray(im), h, w, 0.04, 1e8, pack_mode="plain"
         )
         ref_scores = PH.harris_scores(jnp.asarray(im), h, w, 0.04, 1e8)
     scores, packed = np.asarray(scores), np.asarray(packed)
@@ -99,3 +99,32 @@ def test_emit_packed_plane(img=None):
     ref_pk = p32[..., 0] | (p32[..., 1] << 8) | (p32[..., 2] << 16)
     np.testing.assert_array_equal(packed[:h, :w], ref_pk)
     assert (packed[h:] == 0).all() and (packed[:, w:] == 0).all()
+
+
+def test_warp_pack_modes_match_pack_bgra():
+    """pack_mode="warp_const"/"warp_ramp": the emitted plane must be
+    bit-identical to ops/pallas_warp.pack_bgra (the warp kernel's packed
+    source contract — 1-px border shift + alpha byte) over the region the
+    two plane sizes share."""
+    from pano_tpu.ops import pallas_warp as PW
+    from pano_tpu.ops import warp as W
+
+    r = np.random.default_rng(4)
+    im = r.integers(0, 256, (150, 600, 3)).astype(np.uint8)
+    h, w = im.shape[:2]
+    for mode, alpha in (
+        ("warp_const", None),
+        ("warp_ramp", W._edge_ramp(h, w)),
+    ):
+        with pltpu.force_tpu_interpret_mode():
+            _, plane = PH.harris_scores(
+                jnp.asarray(im), h, w, 0.04, 1e8, pack_mode=mode
+            )
+        ref = np.asarray(PW.pack_bgra(jnp.asarray(im), alpha))
+        plane = np.asarray(plane)
+        hc = min(plane.shape[0], ref.shape[0])
+        wc = min(plane.shape[1], ref.shape[1])
+        # the kernel plane must cover the bordered image
+        assert hc >= h + 2 and wc >= w + 2, (plane.shape, ref.shape)
+        np.testing.assert_array_equal(plane[:hc, :wc], ref[:hc, :wc])
+        assert (plane[hc:] == 0).all() and (plane[:, wc:] == 0).all()

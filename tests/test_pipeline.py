@@ -353,8 +353,8 @@ def test_tier_fallback_reuses_estimate():
 
     stitcher = PairStitcher(SMALL, print_timing=False)
     est_calls, compose_tiers = [], []
-    real_est = stitcher._fused_estimate
-    stitcher._fused_estimate = (
+    real_est = stitcher._fused_estimate_src
+    stitcher._fused_estimate_src = (
         lambda *a: (est_calls.append(1), real_est(*a))[1]
     )
     real_compose = stitcher._fused_compose
