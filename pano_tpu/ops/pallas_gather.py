@@ -81,7 +81,7 @@ def _make_kernel(n_bands: int, wp: int, k_cap: int, p: int):
 
         row0 = row0_of(b)
 
-        def body(k, _):
+        def one(k):
             oy = oys[k]
             ox = oxs[k]
             yl = oy - row0                     # [0, WIN_R - p]
@@ -119,9 +119,25 @@ def _make_kernel(n_bands: int, wp: int, k_cap: int, p: int):
             )
             flat = jnp.sum(spread, axis=0, keepdims=True)  # (1, 128)
             out_ref[pl.ds(korig[k], 1), :] = flat
+
+        # Eight independent keypoints per iteration: the per-keypoint chain
+        # (scalar address math -> dynamic VMEM view -> rolls -> sum) is
+        # latency-bound, so interleaving chains hides most of it (measured
+        # 1.35 -> 0.38 ms for 8192 keypoints on a 13 MP plane on v5e; 16-way
+        # blows up Mosaic compile time). Tails clamp onto the band's last
+        # keypoint — a bit-identical duplicate write, cheaper than
+        # predicating the chain.
+        s0 = starts[b]
+        s1 = starts[b + 1]
+
+        def body(i, _):
+            k0 = s0 + 8 * i
+            one(k0)
+            for d in range(1, 8):
+                one(jnp.minimum(k0 + d, s1 - 1))
             return 0
 
-        lax.fori_loop(starts[b], starts[b + 1], body, 0)
+        lax.fori_loop(0, (s1 - s0 + 7) // 8, body, 0)
 
     return kernel
 
