@@ -208,23 +208,28 @@ def _make_kernel(
                 pkv = pkv | (alpha << 24)
             pk_ref[0] = pkv
 
-        def grad(kern):
-            # Gradient over pixels q in [-3, TH+3) x [-3, TW+3).
-            acc = None
-            for i in range(3):
-                for j in range(3):
-                    wgt = float(kern[i, j])
-                    if wgt == 0.0:
-                        continue
-                    t = win[
-                        8 - 3 + (i - 1) : 8 - 3 + (i - 1) + TH + 6,
-                        128 - 3 + (j - 1) : 128 - 3 + (j - 1) + TW + 6,
-                    ] * wgt
-                    acc = t if acc is None else acc + t
-            return acc
-
-        gx = grad(_SOBEL_X)
-        gy = grad(_SOBEL_Y)
+        # Separable Sobel over pixels q in [-3, TH+3) x [-3, TW+3): the
+        # [1,2,1] smooth is shared by construction (Sx = smooth_v * diff_h,
+        # Sy = smooth_h * diff_v) — 8 vector ops instead of the 12 direct
+        # tap sums. f32 sums associate differently from the XLA chain's
+        # tap order; both are within the parity tests' stated tolerance.
+        # Window coordinate of pixel q is (q + PAD_R, q + PAD_C).
+        rs = (
+            (
+                win[4 : 4 + TH + 6, 124 : 124 + TW + 8]
+                + win[6 : 6 + TH + 6, 124 : 124 + TW + 8]
+            )
+            + 2.0 * win[5 : 5 + TH + 6, 124 : 124 + TW + 8]
+        )  # vertical [1,2,1], origin (-3, -4)
+        gx = rs[:, 2:] - rs[:, : TW + 6]
+        cs = (
+            (
+                win[4 : 4 + TH + 8, 124 : 124 + TW + 6]
+                + win[4 : 4 + TH + 8, 126 : 126 + TW + 6]
+            )
+            + 2.0 * win[4 : 4 + TH + 8, 125 : 125 + TW + 6]
+        )  # horizontal [1,2,1], origin (-4, -3)
+        gy = cs[2:, :] - cs[: TH + 6, :]
 
         # Zero gradients outside the reference's valid region [1, dim-2]
         # (convolveSequential leaves the 1-px border untouched-zero).
@@ -241,18 +246,23 @@ def _make_kernel(
         gy = jnp.where(gvalid, gy, 0.0)
 
         g1 = _gauss1d()
+        g0f, g1f, g2f = float(g1[0]), float(g1[1]), float(g1[2])
         planes = []
         for prod in (gx * gx, gy * gy, gx * gy):
-            # Vertical Gaussian: rows [-1, TH+1), cols [-3, TW+6) domain.
-            v = None
-            for t in range(5):
-                term = prod[t : t + TH + 2, :] * float(g1[t])
-                v = term if v is None else v + term
+            # Separable Gaussian with the symmetric taps folded
+            # (g[0]==g[4], g[1]==g[3]): 7 vector ops per axis, not 9.
+            # Vertical: rows [-1, TH+1), cols [-3, TW+6) domain.
+            v = (
+                (prod[0 : TH + 2, :] + prod[4 : 4 + TH + 2, :]) * g0f
+                + (prod[1 : 1 + TH + 2, :] + prod[3 : 3 + TH + 2, :]) * g1f
+                + prod[2 : 2 + TH + 2, :] * g2f
+            )
             # Horizontal: cols [-1, TW+1).
-            s = None
-            for t in range(5):
-                term = v[:, t : t + TW + 2] * float(g1[t])
-                s = term if s is None else s + term
+            s = (
+                (v[:, 0 : TW + 2] + v[:, 4 : 4 + TW + 2]) * g0f
+                + (v[:, 1 : 1 + TW + 2] + v[:, 3 : 3 + TW + 2]) * g1f
+                + v[:, 2 : 2 + TW + 2] * g2f
+            )
             planes.append(s)  # (TH+2, TW+2), indexed from pixel (-1, -1)
         sxx, syy, sxy = planes
 
