@@ -118,13 +118,23 @@ def _solve8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         mag = jnp.abs(m[:, col])
         mag = jnp.where(rows >= col, mag, -jnp.inf)
         piv = jnp.argmax(mag)
+        # Swap rows col <-> piv with masked selects, NOT dynamic
+        # slices/updates: under the 1000-hypothesis vmap, `m[piv]` /
+        # `m.at[piv].set` lower to batched dynamic-gather/scatter custom
+        # fusions whose launch overhead is ~1000x their arithmetic
+        # (measured 0.5 ms/pair for the 8 pivots on v5e); the select form
+        # fuses into the elimination arithmetic. Same values bit-for-bit.
+        is_piv = (rows == piv)[:, None]
         row_c = m[col]
-        row_p = m[piv]
-        m = m.at[col].set(row_p)
-        m = m.at[piv].set(row_c)
+        row_p = jnp.sum(jnp.where(is_piv, m, 0.0), axis=0)
+        m = jnp.where(
+            (rows == col)[:, None],
+            row_p[None, :],
+            jnp.where(is_piv, row_c[None, :], m),
+        )
         # Eliminate the column everywhere except the pivot row.
         factor = m[:, col] / m[col, col]
-        factor = factor.at[col].set(0.0)
+        factor = jnp.where(rows == col, 0.0, factor)
         m = m - factor[:, None] * m[col][None, :]
     return m[:, 8] / jnp.diagonal(m[:, :8])
 
