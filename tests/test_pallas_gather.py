@@ -10,6 +10,7 @@ differ only on border-invalid rows, which are zeroed downstream).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,3 +99,24 @@ def test_extract_descriptors_pallas_path_parity(rng):
     )
     np.testing.assert_array_equal(np.asarray(bv_pal), np.asarray(bv_xla))
     np.testing.assert_array_equal(np.asarray(d_pal), np.asarray(d_xla))
+
+
+def test_gather_vmap_rule_matches_kernel(rng):
+    """jax.vmap(gather_patches) must route through the custom_vmap rule's
+    XLA fallback and agree with the per-plane kernel exactly (same
+    origin-clamp semantics) — the batched sharded det paths rely on it."""
+    h, w = 150, 600
+    hp, wp = 152, 640
+    p, k = 5, 64
+    pk = jnp.asarray(
+        rng.integers(0, 2 ** 24, (2, hp, wp), dtype=np.int64), jnp.int32
+    )
+    ys = jnp.asarray(rng.integers(0, h, (2, k)), jnp.int32)
+    xs = jnp.asarray(rng.integers(0, w, (2, k)), jnp.int32)
+    gv = jax.vmap(
+        lambda a, b, c: PG.gather_patches(a, b, c, h=h, w=w, p=p)
+    )(pk, ys, xs)
+    for i in range(2):
+        with pltpu.force_tpu_interpret_mode():
+            gi = PG.gather_patches(pk[i], ys[i], xs[i], h=h, w=w, p=p)
+        np.testing.assert_array_equal(np.asarray(gv[i]), np.asarray(gi))

@@ -128,3 +128,23 @@ def test_warp_pack_modes_match_pack_bgra():
         assert hc >= h + 2 and wc >= w + 2, (plane.shape, ref.shape)
         np.testing.assert_array_equal(plane[:hc, :wc], ref[:hc, :wc])
         assert (plane[hc:] == 0).all() and (plane[:, wc:] == 0).all()
+
+
+def test_vmapped_scores_match_per_image():
+    """jax.vmap(harris_scores) must hit the custom_vmap rule (one natively
+    batched kernel launch) and agree bit-for-bit with per-image calls —
+    the contract the vmapped sharded entry points depend on."""
+    r = np.random.default_rng(7)
+    imgs = r.integers(0, 256, (2, 150, 600, 3)).astype(np.uint8)
+    h, w = imgs.shape[1:3]
+    with pltpu.force_tpu_interpret_mode():
+        sv, pv = jax.vmap(
+            lambda im: PH.harris_scores(im, h, w, 0.04, 1e8,
+                                        pack_mode="plain")
+        )(jnp.asarray(imgs))
+        for i in range(2):
+            si, pi = PH.harris_scores(
+                jnp.asarray(imgs[i]), h, w, 0.04, 1e8, pack_mode="plain"
+            )
+            np.testing.assert_array_equal(np.asarray(sv[i]), np.asarray(si))
+            np.testing.assert_array_equal(np.asarray(pv[i]), np.asarray(pi))
