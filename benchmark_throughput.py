@@ -41,13 +41,14 @@ def main():
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("images", nargs="*", default=MOUNTAIN)
     args = ap.parse_args()
+    if len(args.images) != 2:
+        ap.error(f"expected exactly 2 image paths, got {len(args.images)}")
 
     import jax.numpy as jnp
-    import numpy as np
 
     from pano_tpu.config import DEFAULT_CONFIG
     from pano_tpu.io import imread_bgr
-    from pano_tpu.pipeline import PairStitcher, _host_fetch
+    from pano_tpu.pipeline import PairStitcher, _host_fetch, fast_path_crop
     from pano_tpu.timer import force_sync
 
     left = jnp.asarray(imread_bgr(args.images[0]), jnp.uint8)
@@ -80,13 +81,8 @@ def main():
     def retire(handles):
         """Fetch the packed vector (the pipeline's one sync) and crop."""
         packed_out, canvas = handles
-        v = _host_fetch(packed_out)
-        if not (v[11] > 0.5 and v[18] > 0.5):
-            return None  # would need the fallback ladder
-        return canvas[
-            int(v[19]):int(v[19]) + int(v[16]),
-            int(v[20]):int(v[20]) + int(v[17]),
-        ]
+        status, cropped = fast_path_crop(_host_fetch(packed_out), canvas)
+        return cropped if status == "ok" else None
 
     # Warmup (compiles); validate the fast path applies.
     pano = retire(dispatch())

@@ -125,6 +125,12 @@ def extract_patch_descriptors(
             and pk.shape[1] % 128 == 0
             and pk.shape[0] >= pallas_gather.WIN_R
             and pk.shape[1] >= pallas_gather.LANES
+            # The kernel's double-buffered band scratch is 2*WIN_R*Wp i32
+            # (384 B/column) + the (K, 128) output held whole in VMEM;
+            # cap the plane width so fold-mode's growing panorama canvas
+            # (harris_detect over the composite) can't blow the VMEM
+            # budget — wider planes take the unbounded jnp.take path.
+            and pk.shape[1] <= 16384
         )
     if use_pallas:
         from pano_tpu.ops import pallas_gather

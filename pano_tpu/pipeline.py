@@ -60,6 +60,31 @@ def _host_fetch(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def fast_path_crop(v: np.ndarray, canvas):
+    """Decode the fused-compose packed row's fast-path fields and crop.
+
+    THE single home for the packed-row indices of `_fused_compose_impl`'s
+    protocol ([estimate packed (14) | min_x min_y canvas_h canvas_w
+    kernel_safe crop_y crop_x]) — stitch_pair_fast and the throughput
+    benchmark both decode through here, so a protocol change cannot
+    silently desynchronize them.
+
+    Returns (status, cropped): ("ok", panorama) on the fast path;
+    ("unsafe", None) when the coverage/envelope check failed (caller
+    should widen the warp-window tier); ("failed", None) when the
+    estimate itself failed (caller takes the fallback ladder).
+    """
+    if v[11] <= 0.5:
+        return "failed", None
+    if v[18] <= 0.5:
+        return "unsafe", None
+    canvas_h, canvas_w = int(v[16]), int(v[17])
+    crop_y, crop_x = int(v[19]), int(v[20])
+    return "ok", canvas[
+        crop_y:crop_y + canvas_h, crop_x:crop_x + canvas_w
+    ]
+
+
 def _platform_config(
     config: PanoConfig, device: Optional[jax.Device]
 ) -> PanoConfig:
@@ -143,9 +168,15 @@ class PairStitcher:
             and cfg.harris.nms_neighborhood == 3
             and cfg.stitch.use_pallas_warp
             and jax.default_backend() == "tpu"
-            # bottom/right border rows must fit in the tile padding, and
-            # the plane must cover at least one warp source window
-            and hp >= h + 2 and wp >= w + 2
+            # The warp's source-coordinate clamp reaches slot hp-2 with a
+            # +1 tap, i.e. slots hp-2 and hp-1 — BOTH must lie in the zero
+            # border beyond the image's slots [1, h], so the tile padding
+            # must supply >= 2 zero rows/cols past the shifted image:
+            # hp >= h + 3 (at hp == h + 2 the clamp lands ON the last real
+            # row and off-image samples duplicate edge pixels instead of
+            # fading to zero — pack_bgra's window-sized padding made that
+            # impossible).  Also the plane must cover a warp source window.
+            and hp >= h + 3 and wp >= w + 3
             and hp >= pallas_warp.WIN_H and wp >= pallas_warp.WIN_W
         )
         if not ok:
@@ -608,19 +639,12 @@ class PairStitcher:
                 left_dev, packed_src, est_packed
             )
             v = _host_fetch(packed_out)     # ONE host sync per attempt
-            ok = v[11] > 0.5
-            safe = v[18] > 0.5
-            if not ok:
+            status, cropped = fast_path_crop(v, canvas)
+            if status == "failed":
                 break  # shared fallback ladder below (no re-estimation)
-            if safe:
-                canvas_h = int(v[16])
-                canvas_w = int(v[17])
-                crop_y = int(v[19])
-                crop_x = int(v[20])
-                return canvas[
-                    crop_y:crop_y + canvas_h, crop_x:crop_x + canvas_w
-                ]
-            # Coverage/envelope failed at this tier: widen the window.
+            if status == "ok":
+                return cropped
+            # "unsafe": coverage/envelope failed at this tier — widen.
 
         # Exact staged COMPOSITE fallback, reusing the existing estimate via
         # the shared fused-protocol ladder (match-count bail, low-inlier

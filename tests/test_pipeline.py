@@ -455,3 +455,24 @@ def test_fused_stitch_gain_matches_staged():
     assert fused[:, :40].mean() < right[:, :40].mean() - 5
     d = np.abs(fused.astype(int) - staged.astype(int)).max(-1)
     assert (d > 10).mean() < 0.02, (d.max(), (d > 10).mean())
+
+
+def test_src_pack_mode_requires_two_border_rows(monkeypatch):
+    """The Harris-plane-as-warp-source gate must reject shapes whose tile
+    padding leaves fewer than 2 zero rows/cols past the shifted image
+    (hp < h + 3): at hp == h + 2 the warp's coordinate clamp lands ON the
+    last real row and off-image samples duplicate edge pixels instead of
+    fading to zero (code-review r3 finding, empirically reproduced)."""
+    import pano_tpu.pipeline as pl_mod
+    from pano_tpu.ops import pallas_harris as PH
+
+    stitcher = PairStitcher(SMALL, print_timing=False)
+    monkeypatch.setattr(pl_mod.jax, "default_backend", lambda: "tpu")
+    assert SMALL.harris.use_pallas_scores and SMALL.stitch.use_pallas_warp
+
+    good_h = PH.TH * 3 - 8          # hp - h == 8: plenty of border
+    bad_h = PH.TH * 3 - 2           # hp - h == 2: clamp hits real pixels
+    w = PH.TW * 2 - 8
+    assert stitcher._src_pack_mode((good_h, w, 3)) is not None
+    assert stitcher._src_pack_mode((bad_h, w, 3)) is None
+    assert stitcher._src_pack_mode((good_h, PH.TW * 2 - 2, 3)) is None
