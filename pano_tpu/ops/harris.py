@@ -201,7 +201,16 @@ def harris_detect(
             & border_ok
         )
 
-        scores = jnp.where(is_peak, resp, -jnp.inf)
+        # Pack the in-2x2-block offset into the two mantissa LSBs of each
+        # peak (same contract as the Pallas kernel's epilogue — see
+        # pallas_harris._make_kernel): the 2x2 block-max below then carries
+        # its own sub-block position and the decode needs no gathers.
+        off_bits = ((ys & 1) << 1) | (xs & 1)
+        rbits = lax.bitcast_convert_type(resp, jnp.int32)
+        packed_resp = lax.bitcast_convert_type(
+            (rbits & ~3) | off_bits, jnp.float32
+        )
+        scores = jnp.where(is_peak, packed_resp, -jnp.inf)
         if h % 2 or w % 2:
             scores = jnp.pad(
                 scores,
@@ -234,31 +243,32 @@ def harris_detect(
         top_scores, top_bidx = lax.top_k(bmax.reshape(-1), k_cap)
     valid = jnp.isfinite(top_scores)
 
-    # Recover the in-block position: compare the 4 candidates' gathered
-    # values to the block max; first equal wins (ties within a block are
-    # broken top-left, like the reference's row-major scan order). Four flat
-    # 1-D gathers with index arithmetic — strided slices / multi-axis fancy
-    # indexing force full-array relayouts on TPU (measured 120 ms vs ~0).
+    # Recover the in-block position from the two mantissa LSBs the score
+    # producer packed into every peak (see the packing comments above and
+    # in pallas_harris._make_kernel). NMS peaks are pairwise non-adjacent,
+    # so the block max IS the block's only peak and its low bits are its
+    # sub-block offset — no gathers back into the 14.7M-element plane (the
+    # previous 4-candidate gather decode cost ~0.45 ms/image on v5e; flat
+    # 1-D gathers are latency-bound at ~7 ns/element).
     by = top_bidx // w2
     bx = top_bidx % w2
-    flat = padded.reshape(-1)
-    wp = w2 * 2
-    cand = jnp.stack(
-        [
-            flat[(by * 2 + dy) * wp + bx * 2 + dx]
-            for dy in (0, 1)
-            for dx in (0, 1)
-        ],
-        axis=-1,
-    )                                                    # (K, 4)
-    off = jnp.argmax(cand == top_scores[:, None], axis=1).astype(jnp.int32)
-    top_y = by.astype(jnp.int32) * 2 + off // 2
-    top_x = bx.astype(jnp.int32) * 2 + off % 2
+    off = lax.bitcast_convert_type(top_scores, jnp.int32) & 3
+    top_y = by.astype(jnp.int32) * 2 + (off >> 1)
+    top_x = bx.astype(jnp.int32) * 2 + (off & 1)
 
     xy = jnp.stack([top_x, top_y], axis=-1)
-    # Zero out padding coords so downstream gathers stay in range.
+    # Zero out padding coords so downstream gathers stay in range; clear
+    # the packed offset bits from the reported responses (the <= 3 ulp
+    # floor is invisible downstream but keeps the field clean).
     xy = jnp.where(valid[:, None], xy, 0)
-    response = jnp.where(valid, top_scores, 0.0)
+    response = jnp.where(
+        valid,
+        lax.bitcast_convert_type(
+            lax.bitcast_convert_type(top_scores, jnp.int32) & ~3,
+            jnp.float32,
+        ),
+        0.0,
+    )
 
     if k_cap < opts.max_keypoints:  # tiny images: pad to static capacity
         pad = opts.max_keypoints - k_cap
