@@ -49,14 +49,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile / window geometry (all compile-time constants).
-TH, TW = 128, 128          # output tile
-WIN_H, WIN_W = 208, 384    # VMEM source window per tile (int32: 312 KB;
-#                            sized for SCALE_MAX below — y: 8 align + 1.32*TH
-#                            + margins <= 208, x: 128 align + 1.32*TW + 130
-#                            <= 384)
-RV = 4                     # vertical gather rounds  (chunk spans <= 32 rows)
-VW = 384                   # pass-V column span per chunk (3 lane vregs)
-RH = 3                     # horizontal gather rounds over VW
+# The 256-wide output tile amortizes the fixed per-window costs that a
+# 128-wide tile pays per 128 output columns: the 128-lane alignment waste
+# in the source window (Mosaic requires lane-dim dynamic slices to be
+# 128-aligned, so ~130 px of every window is alignment + taps, not span),
+# the per-tile scalar bounds/DMA-issue work, and the per-chunk (8, 1)
+# line-fit ops. Measured on the 4K mountain window: 2.55 -> 2.0 ms.
+TH, TW = 128, 256          # output tile
+WIN_H, WIN_W = 208, 512    # VMEM source window per tile (int32: 852 KB
+#                            double-buffered; sized for SCALE_MAX below —
+#                            y: 8 align + 1.32*TH + margins <= 208,
+#                            x: 128 align + 1.32*TW + 130 <= 512)
+RV = 5                     # vertical gather rounds  (chunk spans <= 40 rows)
+VW = 512                   # pass-V column span per chunk (4 lane vregs)
+RH = 4                     # horizontal gather rounds over VW
 _BORDER = 1                # black border offset baked into padded coords
 # Quality bound on the local Jacobian (minification): the two-pass resample
 # is bit-exact vs the XLA bilinear oracle up to ~1.3x downscale and degrades
@@ -231,16 +237,56 @@ def envelope_ok_device(
     return ok.all()
 
 
+def _interpreted_trace() -> bool:
+    """True when the current pallas_call trace will run on the CPU
+    interpreter (tests / virtual-device meshes) rather than Mosaic.
+
+    The interpreter compiles the kernel body with XLA:CPU, whose fusion can
+    RECOMPUTE a value separately for each consumer with different FMA/
+    rounding codegen, so at integer knife edges the copies disagree by one
+    index step. Observed concretely (both reproduced, then fixed by the
+    ref roundtrips below):
+      * pass H: x0i = floor(lx) said 51 while fxh = lx - floor(lx) said
+        0.0 for lx = 51.999985 — full weight on the WRONG column (output
+        shifted one source column left in ULP-dependent runs);
+      * pass V feeding pass H: the packedv consumed by the gathers
+        disagreed with the packedv value jax.debug.print showed.
+    A value-level lax.optimization_barrier does NOT stop it — only a real
+    store/load through a kernel ref does, so chunk_body roundtrips vy, lx
+    and packedv through VMEM scratch refs on the interpreted path (ref
+    loads are effect-sequenced and return one fixed value; every
+    downstream consumer is then a single exactly-rounded op). Mosaic
+    lowers ops individually with no such refusion pass; the roundtrips
+    are skipped there to keep stores off the chunk pipeline's critical
+    path."""
+    try:
+        from jax._src import config as _jax_config
+        if _jax_config.pallas_tpu_interpret_mode_context_manager.value \
+                is not None:
+            return True
+    except Exception:
+        pass
+    return jax.default_backend() != "tpu"
+
+
 def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
-                 has_alpha: bool = True, emit_weight: bool = True):
+                 has_alpha: bool = True, emit_weight: bool = True,
+                 interp: bool = False):
+    w_and_scratch = list(w_and_scratch)
     if emit_weight:
-        w_ref, s_vmem, sem = w_and_scratch
+        w_ref = w_and_scratch.pop(0)
     else:
         # Overlay compose never reads the weight map (warped-pixel
         # validity is rgb != 0): skip the (out_h, out_w) f32 store — 62 MB
         # of dead HBM traffic on a 4K canvas window.
         w_ref = None
-        s_vmem, sem = w_and_scratch
+    s_vmem, win_org = w_and_scratch[0], w_and_scratch[1]
+    if interp:
+        # Interpret-only roundtrip buffers — see _interpreted_trace.
+        pv_ref, vy_ref, lx_ref, sem = w_and_scratch[2:]
+    else:
+        pv_ref = vy_ref = lx_ref = None
+        sem = w_and_scratch[2]
     """One (TH, TW) output tile; see module docstring for the algorithm.
 
     The source window DMA is double-buffered across grid steps: pallas runs
@@ -323,6 +369,13 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
 
     def start_dma(tii, tjj, into_slot):
         wy, wx = window_start(tii, tjj)
+        # Stash the origin the DMA ACTUALLY used: the compute phase reads it
+        # back from SMEM instead of re-evaluating window_start, whose two
+        # inlined instances (prefetch at step t-1 vs compute at step t) the
+        # compiler may otherwise round differently at integer knife edges —
+        # an 8-row window shift between fetch and gather.
+        win_org[into_slot, 0] = wy
+        win_org[into_slot, 1] = wx
         pltpu.make_async_copy(
             src_ref.at[pl.ds(wy, WIN_H), pl.ds(wx, WIN_W)],
             s_vmem.at[into_slot],
@@ -346,7 +399,8 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         sem.at[slot],
     ).wait()
 
-    wy0, wx0 = window_start(ti, tj)
+    wy0 = win_org[slot, 0]   # the origin this slot's DMA used (see start_dma)
+    wx0 = win_org[slot, 1]
     s_cur = s_vmem.at[slot]
     wy0f = wy0.astype(jnp.float32)
     wx0f = wx0.astype(jnp.float32)
@@ -427,19 +481,19 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         )
         vy = alpha + beta * xs                       # (8, VW) padded coords
         vy = jnp.clip(vy, 0.0, float(hp - 2))
+        if interp:
+            vy_ref[...] = vy
+            vy = vy_ref[...]
         vy0 = jnp.floor(vy)
         fyv = vy - vy0
 
         # Chunk-local row window (8-aligned). vy is linear in xs along each
-        # row (and fp-monotone), so the window-endpoint values bound the
-        # whole (8, VW) map — computed on (8, 1) vectors, bitwise-consistent
-        # with the map's own endpoint entries.
-        xs_lo = wx0f + cx0f
-        xs_hi = xs_lo + float(VW - 1)
-        v_ends = jnp.minimum(
-            jnp.clip(alpha + beta * xs_lo, 0.0, float(hp - 2)),
-            jnp.clip(alpha + beta * xs_hi, 0.0, float(hp - 2)),
-        )
+        # row and rounding is monotone, so the map's OWN endpoint entries
+        # bound every interior entry. The bound slices vy itself rather
+        # than recomputing alpha + beta * xs_end: a recomputation is only
+        # bitwise-consistent with the map if the compiler picks the same
+        # FMA contraction for both expressions, which it need not.
+        v_ends = jnp.minimum(vy[:, :1], vy[:, VW - 1:])
         vmin_i = jnp.min(jnp.floor(v_ends)).astype(jnp.int32)
         rl0 = pl.multiple_of(
             jnp.clip((vmin_i - wy0) & ~7, 0, WIN_H - RV * 8), 8
@@ -465,54 +519,73 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
             t1 = jnp.take_along_axis(s_r, jnp.clip(lr1, 0, 7), axis=0)
             g1 = jnp.where((lr1 >= 0) & (lr1 < 8), t1, g1)
 
-        # Unpack BGR(A) + vertical mix -> channel planes (8, VW). Without an
-        # alpha plane (overlay blends) the weight is computed analytically
-        # below instead of resampling the constant-127 alpha channel.
-        n_planes = 4 if has_alpha else 3
-        w0 = 1.0 - fyv
-        planes = []
-        for shift in (0, 8, 16, 24)[:n_planes]:
-            c0 = ((g0 >> shift) & 0xFF).astype(jnp.float32)
-            c1 = ((g1 >> shift) & 0xFF).astype(jnp.float32)
-            planes.append(c0 * w0 + c1 * fyv)
-        # Requantize the vertical mix to ONE BGRA-packed i32 plane so pass
-        # H fetches every channel with a single gather per tap (3-4x fewer
-        # dynamic gathers; measured -1.8 ms on the 4K window). The u8
-        # rounding between the passes costs at most +-1 vs the f32 chain —
-        # the same intermediate-quantization tradeoff cv2's own fixed-point
-        # INTER_LINEAR warp makes (it keeps only 5 fractional bits).
-        packedv = jnp.round(planes[0]).astype(jnp.int32)
-        for p in range(1, n_planes):
-            packedv = packedv | (
-                jnp.round(planes[p]).astype(jnp.int32) << (8 * p)
-            )
+        # Vertical mix in integer SWAR: two channels ride each i32 in
+        # 16-bit fields (lo = B | R<<16, hi = G | A<<16), so one multiply
+        # mixes two channels — i32 multiplies are full-throughput on the
+        # v5e VPU (measured vs f32), halving the mix op count vs a
+        # per-channel f32 unpack/mix/round. 7-bit weights + round-to-
+        # nearest keep the requantized result within +-1 of the f32 mix
+        # (cv2's own fixed-point INTER_LINEAR keeps only 5 fractional
+        # bits). Field headroom: 255*128 + 64 = 32704 < 2^16, and the high
+        # field tops out at 32704<<16 < 2^31, so nothing carries or wraps.
+        # The repack to ONE BGRA-packed i32 plane also lets pass H fetch
+        # every channel with a single gather per tap (3-4x fewer dynamic
+        # gathers; measured -1.8 ms on the 4K window).
+        M2 = jnp.int32(0x00FF00FF)
+        iw1 = jnp.round(fyv * 128.0).astype(jnp.int32)
+        iw0 = 128 - iw1
+        lo = (g0 & M2) * iw0 + (g1 & M2) * iw1 + 0x00400040
+        hi = ((g0 >> 8) & M2) * iw0 + ((g1 >> 8) & M2) * iw1 + 0x00400040
+        packedv = ((lo >> 7) & M2) | (((hi >> 7) & M2) << 8)
+        if interp:
+            pv_ref[...] = packedv
+            packedv = pv_ref[...]
 
         # Pass H: resample columns at lx (chunk-local).
         lx = csx - (wx0f + cx0f)  # (8, TW) in [0, VW)
         lx = jnp.clip(lx, 0.0, float(VW - 2))
+        if interp:
+            lx_ref[...] = lx
+            lx = lx_ref[...]
         x0 = jnp.floor(lx)
         fxh = lx - x0
         x0i = x0.astype(jnp.int32)
 
-        acc = [jnp.zeros((8, TW), jnp.float32) for _ in range(n_planes)]
-        for h in range(RH):
-            for tap in range(2):
-                xi = x0i + tap - 128 * h
-                sel = (xi >= 0) & (xi < 128)
-                wgt = jnp.where(tap == 0, 1.0 - fxh, fxh)
-                wgt = jnp.where(sel, wgt, 0.0)
-                xc = jnp.clip(xi, 0, 127)
-                q = jnp.take_along_axis(
-                    packedv[:, 128 * h : 128 * (h + 1)], xc, axis=1
-                )
-                for p in range(n_planes):
-                    v = ((q >> (8 * p)) & 0xFF).astype(jnp.float32)
-                    acc[p] = acc[p] + v * wgt
+        # Same SWAR trick horizontally: two i32 accumulators hold all four
+        # channels; the two taps' 7-bit weights sum to 128, so every
+        # 16-bit field stays <= 255*128 + 64 and the final (x + 64) >> 7
+        # needs no clip. Gathers run per 128-column output group (Mosaic's
+        # dynamic_gather permutes within one vreg, and take_along_axis
+        # needs index shape == source shape).
+        iwh1 = jnp.round(fxh * 128.0).astype(jnp.int32)
+        acc_parts = []
+        for g in range(TW // 128):
+            gsl = slice(128 * g, 128 * (g + 1))
+            x0i_g = x0i[:, gsl]
+            iw1_g = iwh1[:, gsl]
+            acc_lo = jnp.zeros((8, 128), jnp.int32)
+            acc_hi = jnp.zeros((8, 128), jnp.int32)
+            for h in range(RH):
+                src_h = packedv[:, 128 * h : 128 * (h + 1)]
+                for tap in range(2):
+                    xi = x0i_g + tap - 128 * h
+                    sel = (xi >= 0) & (xi < 128)
+                    wgt = jnp.where(sel, iw1_g if tap else 128 - iw1_g, 0)
+                    xc = jnp.clip(xi, 0, 127)
+                    q = jnp.take_along_axis(src_h, xc, axis=1)
+                    acc_lo = acc_lo + (q & M2) * wgt
+                    acc_hi = acc_hi + ((q >> 8) & M2) * wgt
+            acc_parts.append((acc_lo, acc_hi))
+        acc_lo = jnp.concatenate([p[0] for p in acc_parts], axis=1)
+        acc_hi = jnp.concatenate([p[1] for p in acc_parts], axis=1)
+        acc_lo = acc_lo + 0x00400040
+        acc_hi = acc_hi + 0x00400040
 
         if not emit_weight:
             alpha_w = None
         elif has_alpha:
-            alpha_w = acc[3] * (1.0 / 127.0)
+            # A field: bits 16.. of acc_hi, value scale 127 * 128.
+            alpha_w = (acc_hi >> 23).astype(jnp.float32) * (1.0 / 127.0)
         else:
             # Analytic border weight: a tap at padded coord t is a real
             # image pixel iff t in [1, W] (resp. [1, H]); the summed
@@ -528,9 +601,11 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
             )
             alpha_w = wx_a * wy_a
 
-        bgr = [jnp.clip(jnp.round(acc[p]), 0.0, 255.0).astype(jnp.int32)
-               for p in range(3)]
-        packed = bgr[0] | (bgr[1] << 8) | (bgr[2] << 16)
+        packed = (
+            ((acc_lo >> 7) & 0xFF)             # B
+            | (((acc_hi >> 7) & 0xFF) << 8)    # G
+            | (((acc_lo >> 23) & 0xFF) << 16)  # R
+        )
 
         rgb_ref[pl.ds(c * 8, 8), :] = packed
         if emit_weight:
@@ -597,19 +672,30 @@ def warp_packed(
     out_shape = [jax.ShapeDtypeStruct((out_h, out_w), jnp.int32)]
     if emit_weight:
         out_shape.append(jax.ShapeDtypeStruct((out_h, out_w), jnp.float32))
+    interp = _interpreted_trace()
+    scratch = [
+        pltpu.VMEM((2, WIN_H, WIN_W), jnp.int32),
+        pltpu.SMEM((2, 2), jnp.int32),       # per-slot DMA window origin
+    ]
+    if interp:
+        # Roundtrip buffers for packedv / vy / lx — see _interpreted_trace.
+        scratch += [
+            pltpu.VMEM((8, VW), jnp.int32),
+            pltpu.VMEM((8, VW), jnp.float32),
+            pltpu.VMEM((8, TW), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     out = pl.pallas_call(
         functools.partial(
-            _warp_kernel, has_alpha=has_alpha, emit_weight=emit_weight
+            _warp_kernel, has_alpha=has_alpha, emit_weight=emit_weight,
+            interp=interp,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((2, WIN_H, WIN_W), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=out_shape,
     )(params, src_packed)

@@ -102,6 +102,7 @@ def warp_window_geometry(
     pad_w: int,
     bucket: int,
     align: int = 1,
+    bucket_w: "int | None" = None,
 ) -> Tuple[int, int, int, int]:
     """Host-side warp-window placement shared by every composite path:
     the bucketed bbox of the warped image corners under `m`, +2 px bilinear
@@ -111,6 +112,11 @@ def warp_window_geometry(
     the pallas compose kernels' block-index mapping needs 128; the
     XLA-epilogue paths use 1. pad/bucket must be multiples of `align` so
     the final clamp preserves the alignment.
+
+    `bucket_w` overrides the width bucket (the Pallas warp kernel's output
+    tile is pallas_warp.TW = 256 wide x 128 tall, so its callers bucket
+    win_w to 256; callers must still gate on the result actually being a
+    TW multiple — a narrow canvas can clamp it back to pad_w).
 
     Returns (wx0, wy0, win_w, win_h)."""
     assert pad_h % align == 0 and pad_w % align == 0 and bucket % align == 0, (
@@ -122,7 +128,10 @@ def warp_window_geometry(
     wy0 = max(0, (int(np.floor(corners[:, 1].min())) - 2) & ~(align - 1))
     wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
     wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)
-    win_w = min(_round_up(max(wx1 - wx0, 1), bucket), pad_w)
+    win_w = min(
+        _round_up(max(wx1 - wx0, 1), bucket if bucket_w is None else bucket_w),
+        pad_w,
+    )
     win_h = min(_round_up(max(wy1 - wy0, 1), bucket), pad_h)
     wx0 = min(wx0, pad_w - win_w)
     wy0 = min(wy0, pad_h - win_h)

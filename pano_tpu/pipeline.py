@@ -417,13 +417,22 @@ class PairStitcher:
         # the exact staged path instead. The +130 slack covers the
         # aligned translation's shift (up to 127 px).
         pad_h = _round_up(hl + hr // 2 + 130, cfg.canvas_bucket)
-        pad_w = _round_up(wl + wr + 130, cfg.canvas_bucket)
+        # Canvas width additionally rounds to lcm(bucket, TW) — the warp
+        # kernel's output tile is 256 wide, so the window clamp below must
+        # not pull win_w off a TW multiple (this path is gated on
+        # canvas_bucket % 128 == 0, so the lcm is bucket or 2*bucket).
+        bw = cfg.canvas_bucket
+        if bw % pallas_warp.TW != 0:   # bucket is a 128-multiple here
+            bw *= 2
+        pad_w = _round_up(wl + wr + 130, bw)
         # Static warp window from the tier (see _WIN_TIERS); the in-graph
         # coverage check below rejects anything bigger, escalating tier 0 ->
         # tier 1 -> exact-bbox staged path.
         scale, margin_h, margin_w = self._WIN_TIERS[_tier]
         win_h = min(_round_up(int(hr * scale) + margin_h, 128), pad_h)
-        win_w = min(_round_up(int(wr * scale) + margin_w, 128), pad_w)
+        win_w = min(
+            _round_up(int(wr * scale) + margin_w, pallas_warp.TW), pad_w
+        )
 
         # Window origin in canvas coords (traced), aligned DOWN to the
         # canvas tiling (the tier margins absorb the up-to-7/127 px of
@@ -773,10 +782,17 @@ class PairStitcher:
         ty = int(-min_y)
 
         # Warp window: bbox of the warped right corners in canvas coords,
-        # +2 px bilinear margin, clipped to the padded canvas, bucketed.
+        # +2 px bilinear margin, clipped to the padded canvas, bucketed
+        # (width to the warp kernel's 256-wide tile when it may run).
         hr, wr = right_dev.shape[:2]
+        on_tpu_warp = (
+            cfg.use_pallas_warp
+            and jax.default_backend() == "tpu"
+            and cfg.canvas_bucket % 128 == 0  # kernel paths are gated on this
+        )
         wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
-            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket
+            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket,
+            bucket_w=pallas_warp.TW if on_tpu_warp else None,
         )
 
         # Fast path: Pallas 2-pass warp kernel (TPU only, in-envelope H).
@@ -788,10 +804,13 @@ class PairStitcher:
                 m_inv, win_h, win_w, off_x=wx0, off_y=wy0
             )
             if (
-                cfg.use_pallas_warp
-                and jax.default_backend() == "tpu"
+                on_tpu_warp
                 and cfg.blend in ("overlay", "feather", "multiband")
                 and cfg.canvas_bucket % 128 == 0
+                # A narrow canvas can clamp the window off the kernel's
+                # (TH, TW) output tiling — XLA warp handles those.
+                and win_h % pallas_warp.TH == 0
+                and win_w % pallas_warp.TW == 0
             )
             else None
         )
@@ -1217,8 +1236,14 @@ def composite_global(
         # legal when pad/bucket are 128-multiples (warp_window_geometry's
         # precondition); other buckets take the XLA path, which needs none.
         align = 128 if cfg.canvas_bucket % 128 == 0 else 1
+        on_tpu_warp = (
+            cfg.use_pallas_warp
+            and jax.default_backend() == "tpu"
+            and cfg.canvas_bucket % 128 == 0  # kernel paths are gated on this
+        )
         wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
-            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=align
+            m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=align,
+            bucket_w=pallas_warp.TW if on_tpu_warp else None,
         )
 
         mip = (
@@ -1226,10 +1251,13 @@ def composite_global(
                 m_inv, win_h, win_w, off_x=wx0, off_y=wy0
             )
             if (
-                cfg.use_pallas_warp
-                and jax.default_backend() == "tpu"
+                on_tpu_warp
                 and cfg.blend in ("overlay", "feather", "multiband")
                 and cfg.canvas_bucket % 128 == 0
+                # A narrow canvas can clamp the window off the kernel's
+                # (TH, TW) output tiling — XLA warp handles those.
+                and win_h % pallas_warp.TH == 0
+                and win_w % pallas_warp.TW == 0
             )
             else None
         )

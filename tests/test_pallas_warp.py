@@ -39,10 +39,10 @@ def test_fractional_translation_matches_xla(img):
     m = np.eye(3)
     m[0, 2], m[1, 2] = 17.5, 6.25
     m_inv = np.linalg.inv(m)
-    out, _ = run_kernel(img, m_inv, 256, 384)
+    out, _ = run_kernel(img, m_inv, 256, 512)
     ref = np.asarray(
         W.warp_perspective_u8(
-            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 512
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int))
@@ -56,11 +56,11 @@ def test_projective_close_to_xla(img):
         [[0.97, 0.02, 12.0], [-0.015, 1.02, 4.0], [2e-5, -1e-5, 1.0]]
     )
     m_inv = np.linalg.inv(m)
-    assert PW.supports_homography(m_inv, 256, 384)
-    out, _ = run_kernel(img, m_inv, 256, 384)
+    assert PW.supports_homography(m_inv, 256, 512)
+    out, _ = run_kernel(img, m_inv, 256, 512)
     ref = np.asarray(
         W.warp_perspective_u8(
-            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 512
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int)).max(-1)
@@ -115,14 +115,14 @@ def test_no_alpha_overlay_path_matches_xla(img):
     packed = PW.pack_bgra(jnp.asarray(img), None)
     params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
     with pltpu.force_tpu_interpret_mode():
-        rgb, w = PW.warp_packed(packed, params, 256, 384, has_alpha=False)
+        rgb, w = PW.warp_packed(packed, params, 256, 512, has_alpha=False)
     out = np.asarray(PW.unpack_rgb(rgb))
     w = np.asarray(w)
 
     import jax
 
     sx, sy = W._inverse_map(
-        jnp.asarray(m_inv, jnp.float32), 256, 384,
+        jnp.asarray(m_inv, jnp.float32), 256, 512,
         jnp.asarray(0.0), jnp.asarray(0.0),
     )
     ref_rgb, ref_w = jax.jit(W._bilinear_sample_u8)(jnp.asarray(img), sx, sy)
@@ -170,10 +170,10 @@ def test_mip_warp_matches_downsampled_oracle():
     m_inv) must match the XLA bilinear oracle SAMPLING THE SAME MIP — the
     kernel-parity bound, independent of prefilter quality."""
     r = np.random.default_rng(11)
-    img = r.integers(0, 256, (256, 384, 3)).astype(np.uint8)
+    img = r.integers(0, 256, (256, 512, 3)).astype(np.uint8)
     m_inv = np.diag([2.0, 2.0, 1.0])   # out -> full-res src, 2x minify
 
-    lvl = PW.pick_mip_level(m_inv, 128, 128)
+    lvl = PW.pick_mip_level(m_inv, 128, 256)
     assert lvl == 1
     src = W.downsample_pow2(jnp.asarray(img), lvl)
     m_lvl = PW.mip_m_inv(m_inv, lvl)
@@ -183,11 +183,11 @@ def test_mip_warp_matches_downsampled_oracle():
         m_lvl, 0.0, 0.0, src.shape[0], src.shape[1]
     )
     with pltpu.force_tpu_interpret_mode():
-        rgb, w = PW.warp_packed(packed, params, 128, 128)
+        rgb, w = PW.warp_packed(packed, params, 128, 256)
     out = np.asarray(PW.unpack_rgb(rgb))
 
     sx, sy = W._inverse_map(
-        jnp.asarray(m_lvl, jnp.float32), 128, 128,
+        jnp.asarray(m_lvl, jnp.float32), 128, 256,
         jnp.asarray(0.0), jnp.asarray(0.0),
     )
     ref_rgb, ref_w = jax.jit(W._bilinear_sample_u8)(src, sx, sy)
