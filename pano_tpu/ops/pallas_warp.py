@@ -439,7 +439,8 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         csx_raw = (h00 * rox + h01 * roy + h02) * rinv + float(_BORDER)
         csy_raw = (h10 * rox + h11 * roy + h12) * rinv + float(_BORDER)
         csx = jnp.clip(csx_raw, 0.0, float(wp - 2))
-        csy = jnp.clip(csy_raw, 0.0, float(hp - 2))
+        # (csy is never clipped/used directly: the vertical coordinate is
+        # resampled through the per-row line fit vy below.)
 
         # Row-line parameters: sy is exactly linear in sx along each row.
         # MUST use the unclamped coordinates — clamped endpoints corrupt the

@@ -213,3 +213,29 @@ def test_emit_weight_false_same_rgb(img):
     assert w_none is None
     np.testing.assert_array_equal(np.asarray(rgb_w), np.asarray(rgb_nw))
     assert np.asarray(w).max() > 0.99
+
+
+def test_near_integer_translation_knife_edges(img):
+    """Regression: near-integer source coordinates (every translation-like
+    panorama warp) put floor/frac derivations on ULP knife edges, where
+    the CPU interpreter's fusion used to recompute lx/vy per consumer with
+    divergent rounding — full one-column sample shifts and isolated black
+    pixels, dependent on --xla_force_host_platform_device_count. Fixed by
+    the interpret-path scratch roundtrips in pallas_warp (see
+    _interpreted_trace); this pins the bug class with a homography whose
+    coordinates sit a few ULP below integers everywhere."""
+    m = np.eye(3)
+    m[0, 0] = 1.0 - 3e-7     # ~ULP-scale shear off exact integers
+    m[1, 1] = 1.0 + 3e-7
+    m[0, 2], m[1, 2] = 80.0, 6.0
+    m_inv = np.linalg.inv(m)
+    out, _ = run_kernel(img, m_inv, 256, 512)
+    ref = np.asarray(
+        W.warp_perspective_u8(
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 512
+        )
+    )
+    d = np.abs(out.astype(int) - ref.astype(int))
+    # A knife-edge divergence shows up as a FULL column/row shift (diffs
+    # of 100+), far above the SWAR requantization bound.
+    assert d.max() <= 3, (d.max(), (d.max(-1) > 3).mean())
