@@ -35,7 +35,40 @@ MOUNTAIN = [
 ]
 
 
+def _require_backend():
+    """Fail-soft TPU init: the axon tunnel has outage windows (observed
+    2026-08-17: backend init hangs for 25+ min, then UNAVAILABLE). Probe
+    init in a BOUNDED subprocess first — a hung in-process init would both
+    block the bench and poison jax's cached backend state. Proceed only
+    once a probe succeeds; bounded by PANO_BENCH_INIT_RETRIES attempts."""
+    import subprocess
+
+    retries = int(os.environ.get("PANO_BENCH_INIT_RETRIES", "12"))
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out after 120 s"
+        if attempt == retries - 1:
+            print(json.dumps({"error": f"backend init failed: {err}"}))
+            sys.exit(1)
+        print(
+            f"backend unavailable (attempt {attempt + 1}/{retries}): {err}; "
+            "retrying in 60 s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+
+
 def main():
+    _require_backend()
+
     import jax
 
     from pano_tpu.config import DEFAULT_CONFIG
