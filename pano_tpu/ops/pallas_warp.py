@@ -259,13 +259,15 @@ def _interpreted_trace() -> bool:
     lowers ops individually with no such refusion pass; the roundtrips
     are skipped there to keep stores off the chunk pipeline's critical
     path."""
-    try:
-        from jax._src import config as _jax_config
-        if _jax_config.pallas_tpu_interpret_mode_context_manager.value \
-                is not None:
-            return True
-    except Exception:
-        pass
+    # Private-attribute access is deliberate (no public probe exists in
+    # jax 0.9.0) and must fail LOUDLY on a jax upgrade: silently falling
+    # back would drop the roundtrips for interpret-under-TPU-backend runs
+    # and reintroduce the knife-edge bug as intermittent pixel diffs.
+    from jax._src import config as _jax_config
+
+    if _jax_config.pallas_tpu_interpret_mode_context_manager.value \
+            is not None:
+        return True
     return jax.default_backend() != "tpu"
 
 
@@ -656,10 +658,11 @@ def warp_packed(
     """Warp the packed source onto an (out_h, out_w) canvas window.
 
     Returns (packed u8 RGB int32 (out_h, out_w), weight f32 (out_h, out_w)).
-    out_h/out_w must be multiples of the 128 tile size. With
+    out_h/out_w must be multiples of the (TH, TW) tile size. With
     has_alpha=False (overlay blends, constant packed alpha) the weight map
-    is the exact analytic border weight and the kernel skips resampling
-    the alpha channel (~25% less gather/mix work). With emit_weight=False
+    is the exact analytic border weight instead of the resampled alpha
+    channel (the SWAR mix carries the A field for free either way, so the
+    flag now only selects the weight derivation). With emit_weight=False
     (overlay compose, which keys validity on rgb != 0 and never reads the
     weight) the weight output is dropped entirely — no f32 store, no
     weight math — and None is returned in its place.

@@ -110,6 +110,30 @@ def _suffix(label: str, tag: str) -> str:
     return f"{label} ({tag})" if tag else label
 
 
+def _pallas_warp_eligible(cfg) -> bool:
+    """Single home for the warp-kernel routing gate shared by composite()
+    and composite_global() (the fused path has its own static variant):
+    kernel on, a real TPU backend, and a 128-multiple canvas bucket (the
+    kernel/compose tiling contract)."""
+    return (
+        cfg.use_pallas_warp
+        and jax.default_backend() == "tpu"
+        and cfg.canvas_bucket % 128 == 0
+    )
+
+
+def _warp_bucket_w(cfg) -> int:
+    """Width bucket for canvases/windows that may feed the Pallas warp:
+    lcm(canvas_bucket, pallas_warp.TW), so the window clamp can never pull
+    win_w off the kernel's 256-wide output tiling (at most TW - 1 extra
+    cropped-away columns). Plain canvas_bucket when the kernel can't run."""
+    if not _pallas_warp_eligible(cfg):
+        return cfg.canvas_bucket
+    import math
+
+    return math.lcm(cfg.canvas_bucket, pallas_warp.TW)
+
+
 class PairStitcher:
     """Stitches image pairs; owns the jitted stage functions.
 
@@ -776,8 +800,12 @@ class PairStitcher:
         m = t_mat @ h_right_to_left
         m_inv = np.linalg.inv(m)
 
+        on_tpu_warp = _pallas_warp_eligible(cfg)
         pad_h = _round_up(canvas_h, cfg.canvas_bucket)
-        pad_w = _round_up(canvas_w, cfg.canvas_bucket)
+        # Width pads to lcm(bucket, TW) when the kernel may run, so the
+        # window clamp below can never pull win_w off the kernel's 256-wide
+        # tiling (the extra <= TW-1 columns are cropped away at the end).
+        pad_w = _round_up(canvas_w, _warp_bucket_w(cfg))
         tx = int(-min_x)  # cv::Rect int conversion truncates (main.cpp:376)
         ty = int(-min_y)
 
@@ -785,11 +813,6 @@ class PairStitcher:
         # +2 px bilinear margin, clipped to the padded canvas, bucketed
         # (width to the warp kernel's 256-wide tile when it may run).
         hr, wr = right_dev.shape[:2]
-        on_tpu_warp = (
-            cfg.use_pallas_warp
-            and jax.default_backend() == "tpu"
-            and cfg.canvas_bucket % 128 == 0  # kernel paths are gated on this
-        )
         wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
             m, hr, wr, pad_h, pad_w, cfg.canvas_bucket,
             bucket_w=pallas_warp.TW if on_tpu_warp else None,
@@ -806,9 +829,9 @@ class PairStitcher:
             if (
                 on_tpu_warp
                 and cfg.blend in ("overlay", "feather", "multiband")
-                and cfg.canvas_bucket % 128 == 0
-                # A narrow canvas can clamp the window off the kernel's
-                # (TH, TW) output tiling — XLA warp handles those.
+                # Invariant (pad_w is a lcm(bucket, TW) multiple, pad_h a
+                # 128-multiple, so the clamps preserve the tiling); kept as
+                # a cheap guard against future geometry edits.
                 and win_h % pallas_warp.TH == 0
                 and win_w % pallas_warp.TW == 0
             )
@@ -1152,11 +1175,13 @@ def global_canvas_geometry(
     globals_h: List[Optional[np.ndarray]],
     anchor: int,
     bucket: int,
+    bucket_w: "int | None" = None,
 ) -> Tuple[np.ndarray, int, int, int, int]:
     """Global canvas bounds over all placed images (anchor frame).
 
     Returns (t_mat, canvas_h, canvas_w, pad_h, pad_w). Shared by the local
-    and sharded global-composite paths so the framing cannot drift."""
+    and sharded global-composite paths so the framing cannot drift.
+    `bucket_w` overrides the width bucket (see _warp_bucket_w)."""
     n = len(images)
     min_x = min_y = 0.0
     max_y = float(images[anchor].shape[0])
@@ -1177,7 +1202,7 @@ def global_canvas_geometry(
     canvas_h = int(np.ceil(max_y - min_y))
     canvas_w = int(np.ceil(max_x - min_x))
     pad_h = _round_up(canvas_h, bucket)
-    pad_w = _round_up(canvas_w, bucket)
+    pad_w = _round_up(canvas_w, bucket if bucket_w is None else bucket_w)
     return t_mat, canvas_h, canvas_w, pad_h, pad_w
 
 
@@ -1202,7 +1227,8 @@ def composite_global(
     n = len(images)
 
     t_mat, canvas_h, canvas_w, pad_h, pad_w = global_canvas_geometry(
-        images, globals_h, anchor, cfg.canvas_bucket
+        images, globals_h, anchor, cfg.canvas_bucket,
+        bucket_w=_warp_bucket_w(cfg),
     )
 
     # Composite: place the anchor, then warp+blend every other image onto
@@ -1236,11 +1262,7 @@ def composite_global(
         # legal when pad/bucket are 128-multiples (warp_window_geometry's
         # precondition); other buckets take the XLA path, which needs none.
         align = 128 if cfg.canvas_bucket % 128 == 0 else 1
-        on_tpu_warp = (
-            cfg.use_pallas_warp
-            and jax.default_backend() == "tpu"
-            and cfg.canvas_bucket % 128 == 0  # kernel paths are gated on this
-        )
+        on_tpu_warp = _pallas_warp_eligible(cfg)
         wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
             m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=align,
             bucket_w=pallas_warp.TW if on_tpu_warp else None,
@@ -1253,9 +1275,9 @@ def composite_global(
             if (
                 on_tpu_warp
                 and cfg.blend in ("overlay", "feather", "multiband")
-                and cfg.canvas_bucket % 128 == 0
-                # A narrow canvas can clamp the window off the kernel's
-                # (TH, TW) output tiling — XLA warp handles those.
+                # Invariant (pad_w is a lcm(bucket, TW) multiple via
+                # _warp_bucket_w, pad_h a 128-multiple); kept as a cheap
+                # guard against future geometry edits.
                 and win_h % pallas_warp.TH == 0
                 and win_w % pallas_warp.TW == 0
             )

@@ -56,10 +56,10 @@ def test_warp_fractional_translation_vs_xla_on_tpu(img):
     m = np.eye(3)
     m[0, 2], m[1, 2] = 17.5, 6.25
     m_inv = np.linalg.inv(m)
-    out, _ = run_warp_kernel(img, m_inv, 256, 384)
+    out, _ = run_warp_kernel(img, m_inv, 256, 512)
     ref = np.asarray(
         W.warp_perspective_u8(
-            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 512
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int))
@@ -76,11 +76,11 @@ def test_warp_projective_vs_xla_on_tpu(img):
         [[0.97, 0.02, 12.0], [-0.015, 1.02, 4.0], [2e-5, -1e-5, 1.0]]
     )
     m_inv = np.linalg.inv(m)
-    assert PW.supports_homography(m_inv, 256, 384)
-    out, _ = run_warp_kernel(img, m_inv, 256, 384)
+    assert PW.supports_homography(m_inv, 256, 512)
+    out, _ = run_warp_kernel(img, m_inv, 256, 512)
     ref = np.asarray(
         W.warp_perspective_u8(
-            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 384
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 512
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int)).max(-1)
@@ -102,11 +102,11 @@ def test_warp_envelope_edge_homography_on_tpu():
     m_inv = np.array(
         [[1.28, 0.02, 5.0], [0.01, 1.28, 3.0], [0.0, 0.0, 1.0]]
     )
-    assert PW.supports_homography(m_inv, 256, 384), "meant to be in-envelope"
-    out, _ = run_warp_kernel(big, m_inv, 256, 384)
+    assert PW.supports_homography(m_inv, 256, 512), "meant to be in-envelope"
+    out, _ = run_warp_kernel(big, m_inv, 256, 512)
     ref = np.asarray(
         W.warp_perspective_u8(
-            jnp.asarray(big), jnp.asarray(m_inv, jnp.float32), 256, 384
+            jnp.asarray(big), jnp.asarray(m_inv, jnp.float32), 256, 512
         )
     )
     d = np.abs(out.astype(int) - ref.astype(int))
@@ -115,7 +115,7 @@ def test_warp_envelope_edge_homography_on_tpu():
 
     # Beyond the quality bound the guard must route to the exact XLA path.
     m_bad = np.array([[1.5, 0.02, 5.0], [0.01, 1.5, 3.0], [0.0, 0.0, 1.0]])
-    assert not PW.supports_homography(m_bad, 256, 384)
+    assert not PW.supports_homography(m_bad, 256, 512)
 
 
 def test_harris_scores_kernel_vs_xla_on_tpu():
@@ -237,12 +237,12 @@ def test_warp_no_alpha_overlay_path_on_tpu(img):
     m_inv = np.linalg.inv(m)
     packed = PW.pack_bgra(jnp.asarray(img), None)
     params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
-    rgb, w = PW.warp_packed(packed, params, 256, 384, has_alpha=False)
+    rgb, w = PW.warp_packed(packed, params, 256, 512, has_alpha=False)
     out = np.asarray(PW.unpack_rgb(rgb))
     w = np.asarray(w)
 
     sx, sy = W._inverse_map(
-        jnp.asarray(m_inv, jnp.float32), 256, 384,
+        jnp.asarray(m_inv, jnp.float32), 256, 512,
         jnp.asarray(0.0), jnp.asarray(0.0),
     )
     ref_rgb, ref_w = jax.jit(W._bilinear_sample_u8)(jnp.asarray(img), sx, sy)
@@ -321,7 +321,7 @@ def test_mip_warp_minification_on_tpu():
     ).astype(np.uint8)
     m_inv = np.diag([2.0, 2.0, 1.0])   # 2x zoom-out
 
-    lvl = PW.pick_mip_level(m_inv, 256, 384)
+    lvl = PW.pick_mip_level(m_inv, 256, 512)
     assert lvl == 1
 
     src = W.downsample_pow2(jnp.asarray(img), lvl)
@@ -330,11 +330,11 @@ def test_mip_warp_minification_on_tpu():
         PW.mip_m_inv(m_inv, lvl), 0.0, 0.0,
         src.shape[0], src.shape[1],
     )
-    rgb, w = PW.warp_packed(packed, params, 256, 384)  # REAL lowering
+    rgb, w = PW.warp_packed(packed, params, 256, 512)  # REAL lowering
     out = np.asarray(PW.unpack_rgb(rgb))
 
     sx, sy = W._inverse_map(
-        jnp.asarray(m_inv, jnp.float32), 256, 384,
+        jnp.asarray(m_inv, jnp.float32), 256, 512,
         jnp.asarray(0.0), jnp.asarray(0.0),
     )
     ref_rgb, ref_w = jax.jit(W._bilinear_sample_u8)(jnp.asarray(img), sx, sy)
