@@ -111,3 +111,39 @@ def test_feather_blend_smooth_overlap(rng):
     # Overlap is a mixture strictly between the two.
     mid = out[10, 12:18, 0].astype(np.int32)
     assert np.all(mid > 100) and np.all(mid < 200)
+
+
+def test_warp_window_geometry_bucket_w():
+    """bucket_w (the Pallas warp kernel's 256-wide output tiling) must
+    round win_w independently of the height bucket, and the clamp must
+    stay inside the padded canvas."""
+    from pano_tpu.ops.warp import warp_window_geometry
+
+    m = np.eye(3)
+    m[0, 2], m[1, 2] = 40.0, 20.0
+    # pad sized as lcm(bucket, 256) multiples, like pipeline._warp_bucket_w
+    wx0, wy0, win_w, win_h = warp_window_geometry(
+        m, 300, 400, pad_h=640, pad_w=1024, bucket=128, bucket_w=256
+    )
+    assert win_w % 256 == 0 and win_h % 128 == 0
+    assert 0 <= wx0 <= 1024 - win_w and 0 <= wy0 <= 640 - win_h
+    # The window still covers the warped bbox (+2 px margin).
+    assert wx0 <= 38 and wx0 + win_w >= 442
+    assert wy0 <= 18 and wy0 + win_h >= 322
+    # A full-canvas span clamps to pad_w, which is a 256-multiple here.
+    wx0, _, win_w, _ = warp_window_geometry(
+        m, 300, 1000, pad_h=640, pad_w=1024, bucket=128, bucket_w=256
+    )
+    assert win_w % 256 == 0 and wx0 + win_w <= 1024
+
+
+def test_global_canvas_geometry_bucket_w():
+    from pano_tpu.pipeline import global_canvas_geometry
+
+    imgs = [np.zeros((100, 150, 3), np.uint8)] * 2
+    h = np.eye(3)
+    h[0, 2] = 120.0
+    t, ch, cw, ph, pw = global_canvas_geometry(
+        imgs, [np.eye(3), h], anchor=0, bucket=128, bucket_w=256
+    )
+    assert cw == 270 and pw == 512 and ph % 128 == 0
