@@ -239,3 +239,43 @@ def test_near_integer_translation_knife_edges(img):
     # A knife-edge divergence shows up as a FULL column/row shift (diffs
     # of 100+), far above the SWAR requantization bound.
     assert d.max() <= 3, (d.max(), (d.max(-1) > 3).mean())
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+def test_random_in_envelope_homography_sweep(img, seed):
+    """Property sweep: random in-envelope homographies (rotation + scale +
+    translation + projective terms) must match the XLA oracle within the
+    two-pass SWAR requantization bound. Catches window/round-budget
+    geometry errors anywhere in the envelope, not just at hand-picked
+    maps."""
+    r = np.random.default_rng(seed)
+    ang = r.uniform(-0.05, 0.05)
+    s = r.uniform(0.85, 1.15)
+    c, si = np.cos(ang) * s, np.sin(ang) * s
+    m = np.array(
+        [
+            [c, -si, r.uniform(-20, 60)],
+            [si, c, r.uniform(-10, 20)],
+            [r.uniform(-2e-5, 2e-5), r.uniform(-2e-5, 2e-5), 1.0],
+        ]
+    )
+    m_inv = np.linalg.inv(m)
+    if not PW.supports_homography(m_inv, 256, 512):
+        pytest.skip("outside envelope for this draw")
+    out, w = run_kernel(img, m_inv, 256, 512)
+    ref = np.asarray(
+        W.warp_perspective_u8(
+            jnp.asarray(img), jnp.asarray(m_inv, jnp.float32), 256, 512
+        )
+    )
+    d = np.abs(out.astype(int) - ref.astype(int))
+    # Exclude the 1-px coverage boundary (weight < 1): the oracle blends
+    # border black differently from the kernel's +-1-requantized alpha.
+    interior = (w > 0.999)[..., None]
+    di = np.where(interior, d, 0)
+    # Both passes quantize weights to 7 bits and values to u8 between
+    # them: the compounded tail measures <= 5 on noise images (cv2's own
+    # INTER_LINEAR uses 5-bit weights and is coarser). An index/window
+    # bug on this noise fixture would show diffs of ~85+ instead.
+    assert di.max() <= 6, (di.max(), (di.max(-1) > 3).mean())
+    assert (di.max(-1) > 3).mean() < 0.01
