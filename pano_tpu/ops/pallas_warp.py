@@ -60,7 +60,15 @@ WIN_H, WIN_W = 208, 512    # VMEM source window per tile (int32: 852 KB
 #                            double-buffered; sized for SCALE_MAX below —
 #                            y: 8 align + 1.32*TH + margins <= 208,
 #                            x: 128 align + 1.32*TW + 130 <= 512)
-RV = 5                     # vertical gather rounds  (chunk spans <= 40 rows)
+RV = 5                     # max vertical gather rounds (chunk spans <= 40
+#                            rows). Low-tilt homographies (chunk span <= 16
+#                            rows — nearly every panorama pair) run the
+#                            RV_FAST=3 variant: the rounds loop is the
+#                            kernel's hottest sequence, and the dead rounds
+#                            cost real gather/select issue slots. Callers
+#                            pick per-warp via supports_homography(rv=...) /
+#                            the fused path's tier ladder.
+RV_FAST = 3
 VW = 512                   # pass-V column span per chunk (4 lane vregs)
 RH = 4                     # horizontal gather rounds over VW
 _BORDER = 1                # black border offset baked into padded coords
@@ -138,16 +146,37 @@ def pick_mip_level(
     return None
 
 
+def pick_rv(
+    m_inv: np.ndarray,
+    out_h: int,
+    out_w: int,
+    off_x: float = 0.0,
+    off_y: float = 0.0,
+) -> int:
+    """Host-side round-count pick for an in-envelope warp: RV_FAST when the
+    3-round chunk budget holds (low-tilt maps — nearly every panorama
+    pair), RV otherwise. Call with the mip-adjusted m_inv the kernel will
+    actually run."""
+    return (
+        RV_FAST
+        if supports_homography(m_inv, out_h, out_w, off_x, off_y, rv=RV_FAST)
+        else RV
+    )
+
+
 def supports_homography(
     m_inv: np.ndarray,
     out_h: int,
     out_w: int,
     off_x: float = 0.0,
     off_y: float = 0.0,
+    rv: int = RV,
 ) -> bool:
     """Host-side guard: does this inverse map fit the kernel's static
     windows? Checks the local Jacobian scale and row tilt at the canvas
-    window's corners/center; falls back to the XLA warp otherwise."""
+    window's corners/center; falls back to the XLA warp otherwise.
+    With rv=RV_FAST the tighter chunk-row budget of the 3-round kernel
+    variant is checked instead (see RV_FAST)."""
     m = np.asarray(m_inv, np.float64)
     pts = np.array(
         [
@@ -183,7 +212,7 @@ def supports_homography(
             return False
         beta = j10 / j00
         chunk_rows = 8 * abs(j11 - j10 * j01 / j00) + abs(beta) * VW + 3
-        if chunk_rows > RV * 8 - 8:  # alignment slop
+        if chunk_rows > rv * 8 - 8:  # alignment slop
             return False
     return True
 
@@ -194,6 +223,7 @@ def envelope_ok_device(
     off_y: jnp.ndarray,
     out_h: int,
     out_w: int,
+    rv: int = RV,
 ) -> jnp.ndarray:
     """Device-side twin of supports_homography (for fully-fused graphs where
     H never visits the host). Returns a () bool."""
@@ -233,7 +263,7 @@ def envelope_ok_device(
     chunk_rows = (
         8 * jnp.abs(j11 - j10 * j01 / j00_s) + jnp.abs(beta) * VW + 3
     )
-    ok &= chunk_rows < RV * 8 - 8
+    ok &= chunk_rows < rv * 8 - 8
     return ok.all()
 
 
@@ -273,7 +303,7 @@ def _interpreted_trace() -> bool:
 
 def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
                  has_alpha: bool = True, emit_weight: bool = True,
-                 interp: bool = False):
+                 interp: bool = False, rv: int = RV):
     w_and_scratch = list(w_and_scratch)
     if emit_weight:
         w_ref = w_and_scratch.pop(0)
@@ -499,17 +529,19 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         v_ends = jnp.minimum(vy[:, :1], vy[:, VW - 1:])
         vmin_i = jnp.min(jnp.floor(v_ends)).astype(jnp.int32)
         rl0 = pl.multiple_of(
-            jnp.clip((vmin_i - wy0) & ~7, 0, WIN_H - RV * 8), 8
+            jnp.clip((vmin_i - wy0) & ~7, 0, WIN_H - rv * 8), 8
         )
-        li = vy0.astype(jnp.int32) - wy0 - rl0       # in [0, RV*8) if guarded
+        li = vy0.astype(jnp.int32) - wy0 - rl0       # in [0, rv*8) if guarded
 
-        # All RV rounds run unconditionally: runtime predication of the
+        # All rv rounds run unconditionally: runtime predication of the
         # dead rounds (lax.cond per round) was measured SLOWER by ~1 ms on
         # v5e — the branches break Mosaic's instruction scheduling, while
-        # the dead rounds' gathers are cheap next to that loss.
+        # the dead rounds' gathers are cheap next to that loss. The round
+        # COUNT is static instead: callers compile the rv=RV_FAST variant
+        # when the homography's chunk-row budget allows (see RV_FAST).
         g0 = jnp.zeros((8, VW), jnp.int32)
         g1 = jnp.zeros((8, VW), jnp.int32)
-        for r in range(RV):
+        for r in range(rv):
             # Round r serves g0 taps with li in [8r, 8r+7] and g1 taps
             # with li in [8r-1, 8r+6].
             s_r = s_cur[
@@ -645,7 +677,8 @@ def make_params(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_h", "out_w", "has_alpha", "emit_weight")
+    jax.jit,
+    static_argnames=("out_h", "out_w", "has_alpha", "emit_weight", "rv"),
 )
 def warp_packed(
     src_packed: jnp.ndarray,   # (Hp, Wp) int32 from pack_bgra
@@ -654,6 +687,7 @@ def warp_packed(
     out_w: int,
     has_alpha: bool = True,
     emit_weight: bool = True,
+    rv: int = RV,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp the packed source onto an (out_h, out_w) canvas window.
 
@@ -692,7 +726,7 @@ def warp_packed(
     out = pl.pallas_call(
         functools.partial(
             _warp_kernel, has_alpha=has_alpha, emit_weight=emit_weight,
-            interp=interp,
+            interp=interp, rv=rv,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -312,10 +312,16 @@ class PairStitcher:
     # wide tier); tier 1 fits tilted/perspective warps. stitch_pair_fast
     # tries tier 0, re-dispatches tier 1 if the in-graph coverage check
     # fails, and only then falls back to the exact staged path.
-    # (scale, height margin, width margin): both margins carry an extra 128
-    # so the tile-aligned window origin (see _fused_compose_impl) still
-    # covers the warped extent.
-    _WIN_TIERS = ((1.02, 160, 160), (1.1, 428, 428))
+    # (scale, height margin, width margin, warp rounds): both margins carry
+    # an extra 128 so the tile-aligned window origin (see
+    # _fused_compose_impl) still covers the warped extent. Tier 0 also runs
+    # the 3-round warp variant (pallas_warp.RV_FAST, the low-tilt common
+    # case — the in-graph envelope check uses the matching tighter budget,
+    # so a tilted warp escalates to tier 1's full-budget kernel).
+    _WIN_TIERS = (
+        (1.02, 160, 160, pallas_warp.RV_FAST),
+        (1.1, 428, 428, pallas_warp.RV),
+    )
 
     def _pack_src(self):
         """Jitted pack_bgra for the fused path, cached per instance: the
@@ -452,7 +458,7 @@ class PairStitcher:
         # Static warp window from the tier (see _WIN_TIERS); the in-graph
         # coverage check below rejects anything bigger, escalating tier 0 ->
         # tier 1 -> exact-bbox staged path.
-        scale, margin_h, margin_w = self._WIN_TIERS[_tier]
+        scale, margin_h, margin_w, rv = self._WIN_TIERS[_tier]
         win_h = min(_round_up(int(hr * scale) + margin_h, 128), pad_h)
         win_w = min(
             _round_up(int(wr * scale) + margin_w, pallas_warp.TW), pad_w
@@ -495,7 +501,9 @@ class PairStitcher:
             & (wy0f <= jnp.maximum(cy.min() - 2.0, 0.0))
             & (crop_y + canvas_h <= pad_h)
             & (crop_x + canvas_w <= pad_w)
-            & pallas_warp.envelope_ok_device(m_inv, wx0, wy0, win_h, win_w)
+            & pallas_warp.envelope_ok_device(
+                m_inv, wx0, wy0, win_h, win_w, rv=rv
+            )
         )
 
         has_alpha = cfg.blend in ("feather", "multiband")
@@ -505,7 +513,7 @@ class PairStitcher:
         params = pallas_warp.make_params(m_inv, wx0, wy0, hr, wr)
         rgb_win, w_win = pallas_warp.warp_packed(
             packed_src, params, win_h, win_w, has_alpha=has_alpha,
-            emit_weight=need_w,
+            emit_weight=need_w, rv=rv,
         )
 
         # Every blend mode runs the ONE-PASS pallas composite (the aligned
@@ -849,8 +857,12 @@ class PairStitcher:
                 alpha = warp_ops._edge_ramp(hs, ws)
             packed = pallas_warp.pack_bgra(src, alpha)
             params = pallas_warp.make_params(m_inv_lvl, wx0, wy0, hs, ws)
+            rv = pallas_warp.pick_rv(
+                m_inv_lvl, win_h, win_w, off_x=wx0, off_y=wy0
+            )
             rgb_win, w_win = pallas_warp.warp_packed(
-                packed, params, win_h, win_w, has_alpha=alpha is not None
+                packed, params, win_h, win_w, has_alpha=alpha is not None,
+                rv=rv,
             )
             canvas, _ = warp_ops.blend_window_outputs(
                 left_dev,
@@ -1295,8 +1307,12 @@ def composite_global(
                 alpha = warp_ops._edge_ramp(hs, ws)
             packed = pallas_warp.pack_bgra(src, alpha)
             params = pallas_warp.make_params(m_inv_lvl, wx0, wy0, hs, ws)
+            rv = pallas_warp.pick_rv(
+                m_inv_lvl, win_h, win_w, off_x=wx0, off_y=wy0
+            )
             rgb_win, w_win = pallas_warp.warp_packed(
-                packed, params, win_h, win_w, has_alpha=alpha is not None
+                packed, params, win_h, win_w, has_alpha=alpha is not None,
+                rv=rv,
             )
             if (
                 cfg.blend in ("overlay", "feather")

@@ -279,3 +279,31 @@ def test_random_in_envelope_homography_sweep(img, seed):
     # bug on this noise fixture would show diffs of ~85+ instead.
     assert di.max() <= 6, (di.max(), (di.max(-1) > 3).mean())
     assert (di.max(-1) > 3).mean() < 0.01
+
+
+def test_rv_fast_variant_matches_full(img):
+    """The 3-round kernel variant (RV_FAST, picked for low-tilt maps) must
+    produce the same output as the full 5-round kernel when the tight
+    chunk budget holds."""
+    m = np.array(
+        [[0.99, 0.004, 22.0], [-0.003, 1.01, 7.0], [1e-6, -1e-6, 1.0]]
+    )
+    m_inv = np.linalg.inv(m)
+    assert PW.pick_rv(m_inv, 256, 512) == PW.RV_FAST
+    packed = PW.pack_bgra(jnp.asarray(img), None)
+    params = PW.make_params(m_inv, 0.0, 0.0, img.shape[0], img.shape[1])
+    with pltpu.force_tpu_interpret_mode():
+        rgb_f, w_f = PW.warp_packed(packed, params, 256, 512, rv=PW.RV_FAST)
+        rgb_5, w_5 = PW.warp_packed(packed, params, 256, 512, rv=PW.RV)
+    np.testing.assert_array_equal(np.asarray(rgb_f), np.asarray(rgb_5))
+    np.testing.assert_allclose(np.asarray(w_f), np.asarray(w_5))
+    # A strongly-tilted (rotated) map must NOT pick the fast variant.
+    ang = 0.35
+    rot = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 30.0],
+            [np.sin(ang), np.cos(ang), 10.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    assert PW.pick_rv(np.linalg.inv(rot), 256, 512) == PW.RV
