@@ -30,8 +30,11 @@ Channel layout: the canvas is produced as (3, H, W) — exactly the
 physical {1,0,2} layout XLA uses for u8 HWC images on TPU — and
 transposed back to (H, W, 3) by a layout-only bitcast.
 
-Multiband blending and gain compensation keep the XLA epilogue (they need
-pyramids / a global reduction); the pipeline falls back automatically.
+Multiband blending and gain compensation also land here: the pipeline
+computes their window-local context (pyramid blend / gain scalar over the
+warp window only, pipeline._fused_compose_impl) and pastes the result
+through this kernel with overlay semantics — no canvas-sized XLA epilogue
+remains on any blend mode.
 """
 
 from __future__ import annotations
