@@ -138,9 +138,9 @@ def extract_patch_descriptors(
         o = plane_origin
         g = pallas_gather.gather_patches(
             pk,
-            y.astype(jnp.int32) + o,
-            x.astype(jnp.int32) + o,
-            h=h + 2 * o, w=w + 2 * o, p=patch_size,
+            y.astype(jnp.int32),
+            x.astype(jnp.int32),
+            h=h + 2 * o, w=w + 2 * o, p=patch_size, origin=o,
         )                                                 # (K, P*P)
     else:
         stride = pk.shape[1]

@@ -46,8 +46,11 @@ WIN_R = 48           # DMA rows per band: BAND + aligned-load overhang
 LANES = 256          # per-keypoint column window (two 128-lane vregs)
 
 
-def _make_kernel(n_bands: int, wp: int, k_cap: int, p: int):
-    def kernel(oys, oxs, korig, starts, pk_ref, out_ref, wbuf, sem):
+def _make_kernel(
+    n_bands: int, wp: int, k_cap: int, p: int,
+    a_off: int, b_y: int, b_x: int,
+):
+    def kernel(ys, xs, order, starts, pk_ref, out_ref, wbuf, sem):
         b = pl.program_id(0)
         hp = pk_ref.shape[0]
 
@@ -82,8 +85,16 @@ def _make_kernel(n_bands: int, wp: int, k_cap: int, p: int):
         row0 = row0_of(b)
 
         def one(k):
-            oy = oys[k]
-            ox = oxs[k]
+            # Decode on the scalar core, hidden in the 8-wide latency
+            # shadow: the original keypoint index, then the clamped patch
+            # origin from the RAW keypoint coords. Doing this here (instead
+            # of passing permuted/clamped arrays) leaves XLA nothing but
+            # plain VMEM->SMEM copies for the prefetch operands — the
+            # permutation gathers it used to run as ~58 us scalar-space
+            # loops per array (6 per pair on the 4K trace).
+            ko = order[k]
+            oy = jnp.minimum(jnp.maximum(ys[ko] + a_off, 0), b_y)
+            ox = jnp.minimum(jnp.maximum(xs[ko] + a_off, 0), b_x)
             yl = oy - row0                     # [0, WIN_R - p]
             # Mosaic vector loads need provably-aligned dynamic starts:
             # multiples of 8 sublanes / 128 lanes (multiply LAST so the
@@ -118,7 +129,7 @@ def _make_kernel(n_bands: int, wp: int, k_cap: int, p: int):
                 masked, 0, axis=1, stride=p, stride_axis=0
             )
             flat = jnp.sum(spread, axis=0, keepdims=True)  # (1, 128)
-            out_ref[pl.ds(korig[k], 1), :] = flat
+            out_ref[pl.ds(ko, 1), :] = flat
 
         # Eight independent keypoints per iteration: the per-keypoint chain
         # (scalar address math -> dynamic VMEM view -> rolls -> sum) is
@@ -142,27 +153,34 @@ def _make_kernel(n_bands: int, wp: int, k_cap: int, p: int):
     return kernel
 
 
-def _gather_kernel_call(pk, ys, xs, h: int, w: int, p: int):
+def _gather_kernel_call(pk, ys, xs, h: int, w: int, p: int, o: int):
     """The Pallas path proper (single plane)."""
     hp, wp = pk.shape
     k_cap = ys.shape[0]
     half = p // 2
+    a_off = o - half           # raw coord -> plane patch origin
+    b_y, b_x = h - p, w - p    # origin clamp bounds (h/w are PLANE extents)
 
-    oy = jnp.clip(ys - half, 0, h - p).astype(jnp.int32)
-    ox = jnp.clip(xs - half, 0, w - p).astype(jnp.int32)
-
-    # Sort by band so each grid step's keypoints hit its VMEM-resident
-    # band; outputs are written at the ORIGINAL row index.
+    # Band sort for the DMA schedule. Only the band KEY is computed on the
+    # VPU; the kernel re-derives each clamped origin from the raw coords
+    # on the scalar core (see _make_kernel), so every prefetch operand
+    # below is either a raw input or a sort/searchsorted output — XLA
+    # stages them into SMEM with plain copies instead of scalar-space
+    # permutation loops.
     n_bands = -(-hp // BAND)
-    order = jnp.argsort(oy // BAND, stable=True).astype(jnp.int32)
-    oys = oy[order]
-    oxs = ox[order]
+    key = (
+        jnp.clip(ys.astype(jnp.int32) + a_off, 0, b_y) // BAND
+    ).astype(jnp.int32)
+    sorted_keys, order = lax.sort(
+        (key, lax.iota(jnp.int32, k_cap)), dimension=0, num_keys=1,
+        is_stable=True,
+    )
     starts = jnp.searchsorted(
-        oys // BAND, jnp.arange(n_bands + 1, dtype=jnp.int32), side="left"
+        sorted_keys, jnp.arange(n_bands + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
     out = pl.pallas_call(
-        _make_kernel(n_bands, wp, k_cap, p),
+        _make_kernel(n_bands, wp, k_cap, p, a_off, b_y, b_x),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_bands,),
@@ -177,17 +195,17 @@ def _gather_kernel_call(pk, ys, xs, h: int, w: int, p: int):
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((k_cap, 128), jnp.int32),
-    )(oys, oxs, order, starts, pk)
+    )(ys.astype(jnp.int32), xs.astype(jnp.int32), order, starts, pk)
     return out[:, : p * p]
 
 
-def _gather_xla(pk, ys, xs, h: int, w: int, p: int):
+def _gather_xla(pk, ys, xs, h: int, w: int, p: int, o: int):
     """Flat-take gather with the KERNEL's semantics (origin clamp, not
     per-tap clamp) — the custom_vmap batch rule (batched pallas_call with
     scalar prefetch cannot lower; the batch paths' planes are small)."""
     half = p // 2
-    oy = jnp.clip(ys - half, 0, h - p).astype(jnp.int32)
-    ox = jnp.clip(xs - half, 0, w - p).astype(jnp.int32)
+    oy = jnp.clip(ys + (o - half), 0, h - p).astype(jnp.int32)
+    ox = jnp.clip(xs + (o - half), 0, w - p).astype(jnp.int32)
     offs = jnp.arange(p, dtype=jnp.int32)
     yy = oy[:, None] + offs[None, :]
     xx = ox[:, None] + offs[None, :]
@@ -198,15 +216,15 @@ def _gather_xla(pk, ys, xs, h: int, w: int, p: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _gather_fn(h: int, w: int, p: int):
+def _gather_fn(h: int, w: int, p: int, o: int):
     @jax.custom_batching.custom_vmap
     def f(pk, ys, xs):
-        return _gather_kernel_call(pk, ys, xs, h, w, p)
+        return _gather_kernel_call(pk, ys, xs, h, w, p, o)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, pk, ys, xs):  # noqa: ARG001
         assert all(in_batched), "gather_patches vmap: all args batched"
-        out = jax.vmap(lambda a, b, c: _gather_xla(a, b, c, h, w, p))(
+        out = jax.vmap(lambda a, b, c: _gather_xla(a, b, c, h, w, p, o))(
             pk, ys, xs
         )
         return out, True
@@ -214,17 +232,21 @@ def _gather_fn(h: int, w: int, p: int):
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "p"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "p", "origin"))
 def gather_patches(
     pk: jnp.ndarray,       # (Hp, Wp) i32 packed plane, Hp % 8 == 0,
     #                        Wp % 128 == 0 (pallas_harris emit_packed shape)
-    ys: jnp.ndarray,       # (K,) i32 patch-center rows
-    xs: jnp.ndarray,       # (K,) i32 patch-center cols
-    h: int = None,         # true image rows (defaults to Hp)
-    w: int = None,         # true image cols (defaults to Wp)
+    ys: jnp.ndarray,       # (K,) i32 patch-center rows (IMAGE coords)
+    xs: jnp.ndarray,       # (K,) i32 patch-center cols (IMAGE coords)
+    h: int = None,         # plane logical rows (defaults to Hp)
+    w: int = None,         # plane logical cols (defaults to Wp)
     p: int = 5,            # patch size (odd, <= 8)
+    origin: int = 0,       # plane slot of image pixel (0, 0): coords are
+    #                        shifted by this INSIDE the kernel so callers
+    #                        pass raw keypoint coords (keeps the prefetch
+    #                        operands pure copies, no scalar-space math)
 ) -> jnp.ndarray:
-    """Gather (p, p) packed-i32 patches around (ys, xs).
+    """Gather (p, p) packed-i32 patches around (ys + origin, xs + origin).
 
     Returns (K, p*p) i32 in the XLA gather's row-major patch order.
     Origins are clamped to [0, dim - p]; callers zero border-invalid rows
@@ -240,4 +262,4 @@ def gather_patches(
     assert hp >= WIN_R, hp
     h = hp if h is None else h
     w = wp if w is None else w
-    return _gather_fn(h, w, p)(pk, ys, xs)
+    return _gather_fn(h, w, p, origin)(pk, ys, xs)
