@@ -225,10 +225,19 @@ def harris_detect(
     # block maxima is lossless. This quarters the top_k problem — the
     # selection, not the response math, dominates Harris on TPU.
     # reduce_window lowers 4x faster than pad+reshape+max (no relayout).
-    h2, w2 = padded.shape[0] // 2, padded.shape[1] // 2
-    bmax = lax.reduce_window(
-        padded, -jnp.inf, lax.max, (2, 2), (2, 2), "VALID"
-    )                                                   # (h2, w2)
+    # The Pallas kernel already folded the ROW pairs in its epilogue (its
+    # plane is (Hp/2, Wp) — Mosaic can't lower the lane-pair half, see
+    # pallas_harris), so only the (1, 2) lane reduction remains there.
+    if use_kernel:
+        h2, w2 = padded.shape[0], padded.shape[1] // 2
+        bmax = lax.reduce_window(
+            padded, -jnp.inf, lax.max, (1, 2), (1, 2), "VALID"
+        )                                               # (h2, w2)
+    else:
+        h2, w2 = padded.shape[0] // 2, padded.shape[1] // 2
+        bmax = lax.reduce_window(
+            padded, -jnp.inf, lax.max, (2, 2), (2, 2), "VALID"
+        )                                               # (h2, w2)
 
     k_cap = min(opts.max_keypoints, h2 * w2)
     if opts.topk_method == "approx":

@@ -19,13 +19,19 @@ Semantics are EXACTLY the reference chain (src/serial/main.cpp:119-185):
   * response det - k*tr^2; NMS strictly-greater over the 3x3 neighborhood
     with the [halfLen, dim-halfLen) border clip (src/serial/main.cpp:159-180).
 
-Output: score map (Hp, Wp) f32 (padded to tile multiples, -inf outside
-peaks/image) consumed by the same block-reduce + top-K selection as the XLA
-path. Each peak's two mantissa LSBs carry its in-2x2-block offset
-((row&1)<<1 | (col&1), a <= 2 ulp perturbation) so harris_detect's decode
-after the block-max reduction needs no gathers back into the plane — see
-the kernel epilogue. Only nms_neighborhood == 3 is supported (the reference
-never uses any other value); callers must guard.
+Output: ROW-FOLDED score map (Hp/2, Wp) f32 — row r holds
+max(scores[2r], scores[2r+1]) — padded to tile multiples, -inf outside
+peaks/image. NMS peaks are pairwise non-adjacent, so each (2, 1) row pair
+holds at most one peak and the in-kernel fold is lossless; it halves the
+score plane's HBM writes and halves harris_detect's remaining XLA
+block-max pass (now (1, 2) on the half-size plane — Mosaic cannot lower
+the lane-pair half of the reduction: strided slices and lane-splitting
+reshapes both fail to compile, see git history). Each peak's two mantissa
+LSBs carry its in-2x2-block offset ((row&1)<<1 | (col&1), a <= 2 ulp
+perturbation) so harris_detect's decode after the block-max reduction
+needs no gathers back into the plane — see the kernel epilogue. Only
+nms_neighborhood == 3 is supported (the reference never uses any other
+value); callers must guard.
 """
 
 from __future__ import annotations
@@ -315,7 +321,15 @@ def _make_kernel(
         packed_score = lax.bitcast_convert_type(
             (cbits & ~3) | off, jnp.float32
         )
-        out_ref[0] = jnp.where(is_peak, packed_score, -jnp.inf)
+        sc = jnp.where(is_peak, packed_score, -jnp.inf)
+        # Row-pair fold (lossless, see module docstring). The row-major
+        # (TH/2, 2*TW) reshape puts row 2i in lanes [0, TW) and row 2i+1
+        # in [TW, 2TW) of the same sublane, so the fold is a vreg-aligned
+        # static-slice max — measured ~free on v5e, where the seemingly
+        # natural (TH/2, 2, TW) reshape costs ~0.06 ms/4K-grid in relayout
+        # (its minor (2, TW) dims occupy quarter-full vregs).
+        f2 = sc.reshape(TH // 2, 2 * TW)
+        out_ref[0] = jnp.maximum(f2[:, :TW], f2[:, TW:])
 
     return kernel
 
@@ -333,10 +347,10 @@ def _scores_batched(
     nti = -(-h // TH)
     ntj = -(-w // TW)
     out_specs = pl.BlockSpec(
-        (1, TH, TW), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+        (1, TH // 2, TW), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct(
-        (nb, nti * TH, ntj * TW), jnp.float32
+        (nb, nti * TH // 2, ntj * TW), jnp.float32
     )
     if emit_packed:
         out_specs = [
@@ -400,9 +414,10 @@ def harris_scores(
     """Fused NMS'd Harris score map from the raw BGR u8 image (gray
     conversion happens inside the kernel).
 
-    `img_u8` is the (H, W, 3) u8 image (un-padded); returns the
-    (round_up(H, TH), round_up(W, TW)) score map with -inf at non-peaks and
-    everywhere outside the image. With pack_mode set ("plain" /
+    `img_u8` is the (H, W, 3) u8 image (un-padded); returns the ROW-FOLDED
+    (round_up(H, TH) / 2, round_up(W, TW)) score map — row r is the
+    (lossless, see module docstring) max of pixel rows 2r and 2r+1 — with
+    -inf at non-peaks and everywhere outside the image. With pack_mode set ("plain" /
     "warp_const" / "warp_ramp", see _make_kernel), returns
     (scores, packed) where packed is the same-shape i32 b|g<<8|r<<16 plane
     (zeros outside the image) — the descriptor-gather source, emitted here

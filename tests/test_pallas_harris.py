@@ -35,16 +35,27 @@ def kernel_scores(img, opts):
     return np.asarray(s)
 
 
+def rowfold(scores):
+    """The kernel epilogue's lossless row-pair max (see pallas_harris):
+    fold the full-resolution oracle plane the same way for comparison."""
+    if scores.shape[0] % 2:
+        scores = np.pad(
+            scores, ((0, 1), (0, 0)), constant_values=-np.inf
+        )
+    return np.maximum(scores[0::2], scores[1::2])
+
+
 def test_kernel_matches_xla_scores(rng):
     img = rng.integers(0, 256, (150, 600, 3), dtype=np.uint8)  # 2x2 tiles
     opts = HarrisOptions()
-    want = xla_scores(img, opts)
+    want = rowfold(xla_scores(img, opts))
     got = kernel_scores(img, opts)
     h, w = img.shape[:2]
+    h2 = (h + 1) // 2
     # Outside-image padding is -inf.
-    assert np.all(np.isneginf(got[h:, :]))
+    assert np.all(np.isneginf(got[h2:, :]))
     assert np.all(np.isneginf(got[:, w:]))
-    got = got[:h, :w]
+    got = got[:h2, :w]
     same_peaks = np.isneginf(got) == np.isneginf(want)
     # f32 associativity differences may flip borderline peaks; demand near-
     # perfect agreement and close values on shared peaks.
@@ -68,9 +79,8 @@ def test_kernel_border_semantics(rng):
     zero-border convolution — peaks at x==2 must agree with the XLA chain."""
     img = rng.integers(0, 256, (130, 520, 3), dtype=np.uint8)
     opts = HarrisOptions()
-    want = xla_scores(img, opts)
-    got = kernel_scores(img, opts)[:130, :520]
-    edge_cols = np.concatenate([got[:, :4].ravel(), want[:, :4].ravel()])
+    want = rowfold(xla_scores(img, opts))
+    got = kernel_scores(img, opts)[:65, :520]
     # Border ring: identical peak classification.
     np.testing.assert_array_equal(
         np.isneginf(got[:, :4]), np.isneginf(want[:, :4])
