@@ -37,7 +37,7 @@ from pano_tpu.config import DEFAULT_CONFIG, PanoConfig
 from pano_tpu.ops import harris as harris_ops
 from pano_tpu.ops import match as match_ops
 from pano_tpu.ops import ransac as ransac_ops
-from pano_tpu.timer import Timer, force_sync, print_stage
+from pano_tpu.timer import Timer, fetch_image, force_sync, print_stage
 
 
 def make_mesh(
@@ -569,7 +569,7 @@ def composite_global_sharded(
         _weights_out.append(
             np.asarray(weight_canvas[:canvas_h, :canvas_w])
         )
-    return np.asarray(canvas[:canvas_h, :canvas_w])
+    return fetch_image(canvas[:canvas_h, :canvas_w])
 
 
 # --------------------------------------------------------------------------
@@ -837,7 +837,7 @@ def stitch_all_images_sharded(
             continue
         panorama = temp
     print_stage(f"Total Stitching Process ({timing_tag})", t.elapsed())
-    return np.asarray(panorama)
+    return fetch_image(panorama)
 
 
 class _ShardedPairStitcher:

@@ -38,7 +38,7 @@ from pano_tpu.ops import pallas_harris
 from pano_tpu.ops import pallas_warp
 from pano_tpu.ops import ransac as ransac_ops
 from pano_tpu.ops import warp as warp_ops
-from pano_tpu.timer import Timer, force_sync, print_stage
+from pano_tpu.timer import Timer, fetch_image, force_sync, print_stage
 
 try:
     import cv2  # type: ignore
@@ -985,7 +985,7 @@ def stitch_all_images(
         panorama = temp
     if print_timing:
         print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
-    return np.asarray(panorama)
+    return fetch_image(panorama)
 
 
 def stitch_all_images_chain(
@@ -1403,4 +1403,4 @@ def composite_global(
 
     if _weights_out is not None:
         _weights_out.append(np.asarray(weight_canvas[:canvas_h, :canvas_w]))
-    return np.asarray(canvas[:canvas_h, :canvas_w])
+    return fetch_image(canvas[:canvas_h, :canvas_w])

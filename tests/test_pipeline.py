@@ -476,3 +476,24 @@ def test_src_pack_mode_requires_two_border_rows(monkeypatch):
     assert stitcher._src_pack_mode((good_h, w, 3)) is not None
     assert stitcher._src_pack_mode((bad_h, w, 3)) is None
     assert stitcher._src_pack_mode((good_h, PH.TW * 2 - 2, 3)) is None
+
+
+def test_fetch_image_band_path_matches_asarray():
+    """fetch_image's pipelined band fetch must be bit-identical to a plain
+    np.asarray for awkward heights (not divisible by the band count), and
+    must pass small/numpy inputs straight through."""
+    from pano_tpu.timer import fetch_image
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (307, 129, 3)).astype(np.uint8)
+    dev = jnp.asarray(img)
+    np.testing.assert_array_equal(
+        fetch_image(dev, bands=32, _force=True), img
+    )
+    np.testing.assert_array_equal(fetch_image(dev), img)  # small: passthrough
+    assert fetch_image(img) is img                        # numpy: identity
+    # 2-D arrays (weight canvases) take the same band path.
+    w = rng.standard_normal((307, 129)).astype(np.float32)
+    np.testing.assert_array_equal(
+        fetch_image(jnp.asarray(w), bands=7, _force=True), w
+    )
