@@ -30,6 +30,11 @@ usage() {
     echo "  $0 eval <generated_panorama> <reference_panorama>"
     echo "      Evaluate stitching quality against a reference panorama"
     echo ""
+    echo "  $0 serve <implementation> [default options] < jobs.txt"
+    echo "      Persistent serving loop: one warm process, one job per stdin"
+    echo "      line (same argument surface as 'run'); amortizes compile and"
+    echo "      graph-dispatch costs across jobs. 'quit' or EOF ends."
+    echo ""
     echo "Options for 'run' and 'perf':"
     echo "  --dir <directory>      Use all images in the specified directory"
     echo "  --out <filename>       Output filename (default: result.jpg)"
@@ -131,6 +136,18 @@ EOF
         else
             echo "Stitching failed with error code $?"
         fi
+        ;;
+
+    serve)
+        if [ $# -lt 1 ]; then
+            echo "Error: Missing implementation"
+            usage
+        fi
+        IMPL=$1
+        shift
+        process_common_args "$@"
+        run_env
+        env "${ENV_VARS[@]}" "$PYTHON" -m pano_tpu.cli serve "$IMPL" "${COMMON_ARGS[@]}"
         ;;
 
     perf)

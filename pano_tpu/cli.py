@@ -402,15 +402,94 @@ def run(
     return 0
 
 
+def serve(
+    impl: str,
+    argv: Sequence[str],
+    config: PanoConfig = DEFAULT_CONFIG,
+    stdin=None,
+) -> int:
+    """Persistent serving loop: ONE warm process, many stitch jobs.
+
+    Every one-shot CLI invocation re-pays per-process costs that dwarf the
+    actual compute — Python tracing of the fused graphs, compile-cache
+    executable rehydration and device load (seconds each through the axon
+    tunnel; BASELINE.md "one-shot CLI" accounting) — while the device work
+    is ~9 ms/pair. A serving process pays them once: jitted graphs are
+    shared across jobs via pipeline.get_pair_stitcher and the module-level
+    stage jits, so steady-state jobs run at device+I/O speed
+    (benchmark_throughput.py measures the overlapped ceiling, ~107 pairs/s).
+
+    Protocol (line-oriented, stdin -> stdout):
+      * each input line is ONE job with exactly `run`'s argument surface
+        (image paths, --dir, --out, and every extended flag — shlex rules);
+      * the job's normal output (timing lines etc.) is printed, then a
+        machine-readable status line:  `Job <n> <ok|failed> <out>: x.xxx ms`
+      * a blank line is ignored; `quit` / `exit` / EOF end the loop (exit 0).
+
+    Default flags passed to `serve` itself (e.g. --mode chain) are prepended
+    to every job line, so a fleet can pin a configuration at startup.
+    The reference has no analog (each binary run is one-shot).
+    """
+    import shlex
+
+    defaults = list(argv)
+    stdin = sys.stdin if stdin is None else stdin
+    print(
+        f"pano_tpu serve ({impl}): one job per line, `run` argument surface;"
+        " 'quit' or EOF ends",
+        flush=True,
+    )
+    n = 0
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        if line in ("quit", "exit"):
+            break
+        n += 1
+        t = Timer()
+        try:
+            args = defaults + shlex.split(line)
+        except ValueError as e:
+            print(f"Job {n} failed -: {t.elapsed():.3f} ms ({e})", flush=True)
+            continue
+        # The job's output path (last --out wins, like the reader).
+        out_path = "result.jpg"
+        toks = list(args)
+        while "--out" in toks:
+            i = toks.index("--out")
+            if i + 1 < len(toks):
+                out_path = toks[i + 1]
+            del toks[i:i + 2]
+        try:
+            rc = run(impl, args, config)
+        except SystemExit as e:
+            rc = int(e.code or 0)
+        except Exception as e:  # a bad job must not kill the server
+            print(f"job error: {e}", file=sys.stderr)
+            rc = -1
+        status = "ok" if rc == 0 else "failed"
+        print(f"Job {n} {status} {out_path}: {t.elapsed():.3f} ms", flush=True)
+    return 0
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print(
             "Usage: python -m pano_tpu.cli <serial|tpu|sharded|opencv> "
-            "[--dir D] [--out F] [image1 image2 ...]",
+            "[--dir D] [--out F] [image1 image2 ...]\n"
+            "       python -m pano_tpu.cli serve <impl> [default flags] "
+            "< jobs.txt",
             file=sys.stderr,
         )
         return -1
+    if argv[0] == "serve":
+        if len(argv) < 2:
+            print("Usage: python -m pano_tpu.cli serve <impl> "
+                  "[default flags] < jobs.txt", file=sys.stderr)
+            return -1
+        return serve(argv[1], argv[2:])
     return run(argv[0], argv[1:])
 
 

@@ -620,7 +620,7 @@ def stitch_all_images_chain_sharded(
     packed_dev, pts = fused_estimate_batched(lefts, rights, config, mesh)
     v = pipeline._host_fetch(packed_dev)     # THE single batch host sync
 
-    stitcher = pipeline.PairStitcher(config, print_timing=False)
+    stitcher = pipeline.get_pair_stitcher(config, print_timing=False)
     devs = [stack[i] for i in range(n)]
     globals_h: List[Optional[np.ndarray]] = [np.eye(3)]
     last_good = 0
@@ -844,11 +844,9 @@ class _ShardedPairStitcher:
     """PairStitcher variant whose RANSAC shards hypotheses over the mesh."""
 
     def __init__(self, mesh: Mesh, config: PanoConfig, timing_tag: str = ""):
-        from pano_tpu.pipeline import PairStitcher
-
         self.mesh = mesh
         self.config = config
-        self._inner = PairStitcher(config, timing_tag=timing_tag)
+        self._inner = pipeline.get_pair_stitcher(config, timing_tag=timing_tag)
         n_hyp = mesh.shape["hyp"]
         r = config.ransac
         if r.num_iterations % n_hyp != 0:

@@ -915,6 +915,19 @@ class PairStitcher:
         return canvas
 
 
+@functools.lru_cache(maxsize=32)
+def get_pair_stitcher(
+    config: PanoConfig, print_timing: bool = True, timing_tag: str = ""
+) -> "PairStitcher":
+    """Memoized PairStitcher: repeated runs with the same (frozen, hashable)
+    config share one instance — and therefore one set of per-instance jitted
+    graphs (_fused_estimate/_fused_estimate_src). A persistent process (the
+    CLI `serve` loop, repeated Python-API calls) then pays Python tracing
+    once per config instead of once per job; the reference has no analog
+    (each binary run re-does everything, src/serial/main.cpp:417-452)."""
+    return PairStitcher(config, print_timing, timing_tag)
+
+
 def stitch_all_images(
     images: List[np.ndarray],
     config: PanoConfig = DEFAULT_CONFIG,
@@ -960,7 +973,7 @@ def stitch_all_images(
     if not images:
         return None
     fast = timing == "total"
-    stitcher = PairStitcher(config, print_timing and not fast, timing_tag)
+    stitcher = get_pair_stitcher(config, print_timing and not fast, timing_tag)
 
     def to_dev(a):
         arr = jnp.asarray(a, dtype=jnp.uint8)
@@ -1001,7 +1014,7 @@ def stitch_all_images_chain(
         return None
     config = _platform_config(config, device)
     cfg = config.stitch
-    stitcher = PairStitcher(config, print_timing, timing_tag)
+    stitcher = get_pair_stitcher(config, print_timing, timing_tag)
 
     def to_dev(a):
         arr = jnp.asarray(a, dtype=jnp.uint8)

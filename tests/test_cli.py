@@ -184,3 +184,30 @@ def test_parity_preset_defaults_to_stage_timing(scene_dir, tmp_path, capsys):
                          "--kpts", "256", "--iters", "128"])
     assert rc == 0
     assert "Harris Corner Detection" in capsys.readouterr().out
+
+
+def test_serve_loop_runs_jobs_and_reports_status(scene_dir, tmp_path, capsys):
+    """serve: one warm process, one job per stdin line (run's argument
+    surface + default flags), machine-readable Job status lines, and bad
+    jobs don't kill the loop."""
+    import io
+
+    out1 = str(tmp_path / "serve1.jpg")
+    out2 = str(tmp_path / "serve2.jpg")
+    a1 = os.path.join(scene_dir, "a1.png")
+    a2 = os.path.join(scene_dir, "a2.png")
+    jobs = io.StringIO(
+        f"{a1} {a2} --out {out1}\n"
+        "\n"                                  # blank: ignored
+        f"{a1} --out {tmp_path / 'nope.jpg'}\n"  # 1 image: fails, loop lives
+        f"{a1} {a2} --out {out2} --blend feather\n"
+        "quit\n"
+    )
+    rc = cli.serve("serial", ["--kpts", "256"], stdin=jobs)
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert f"Job 1 ok {out1}:" in stdout
+    assert "Job 2 failed" in stdout
+    assert f"Job 3 ok {out2}:" in stdout
+    assert os.path.exists(out1) and os.path.exists(out2)
+    assert cv2.imread(out1).shape[1] >= 128
