@@ -38,7 +38,9 @@ from pano_tpu.ops import pallas_harris
 from pano_tpu.ops import pallas_warp
 from pano_tpu.ops import ransac as ransac_ops
 from pano_tpu.ops import warp as warp_ops
-from pano_tpu.timer import Timer, fetch_image, force_sync, print_stage
+from pano_tpu.timer import (
+    Timer, fetch_image, force_sync, print_stage, push_image,
+)
 
 try:
     import cv2  # type: ignore
@@ -976,6 +978,8 @@ def stitch_all_images(
     stitcher = get_pair_stitcher(config, print_timing and not fast, timing_tag)
 
     def to_dev(a):
+        if isinstance(a, np.ndarray):  # pipelined banded H2D (see timer.py)
+            return push_image(np.asarray(a, np.uint8), device)
         arr = jnp.asarray(a, dtype=jnp.uint8)
         return jax.device_put(arr, device) if device is not None else arr
 
@@ -1017,6 +1021,8 @@ def stitch_all_images_chain(
     stitcher = get_pair_stitcher(config, print_timing, timing_tag)
 
     def to_dev(a):
+        if isinstance(a, np.ndarray):  # pipelined banded H2D (see timer.py)
+            return push_image(np.asarray(a, np.uint8), device)
         arr = jnp.asarray(a, dtype=jnp.uint8)
         return jax.device_put(arr, device) if device is not None else arr
 
@@ -1080,6 +1086,8 @@ def stitch_all_images_auto(
     cfg_h, cfg_r = config.harris, config.ransac
 
     def to_dev(a):
+        if isinstance(a, np.ndarray):  # pipelined banded H2D (see timer.py)
+            return push_image(np.asarray(a, np.uint8), device)
         arr = jnp.asarray(a, dtype=jnp.uint8)
         return jax.device_put(arr, device) if device is not None else arr
 

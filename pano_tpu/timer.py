@@ -93,6 +93,50 @@ def fetch_image(x, bands: int = 32, _force: bool = False):
     return np.concatenate([np.asarray(p) for p in parts], axis=0)
 
 
+@_functools.lru_cache(maxsize=1)
+def _h2d_pool():
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(8, thread_name_prefix="pano_h2d")
+
+
+def push_image(img, device=None, bands: int = 16, _force: bool = False):
+    """Host -> device upload for LARGE arrays, pipelining the H2D transfer.
+
+    The tunnel's H2D path serializes per device_put (~20 MB/s for one 39 MB
+    image); 16 row-band puts issued from a small thread pool overlap to
+    ~40 MB/s (measured 2026-08-18, BASELINE.md) and one device concatenate
+    reassembles the image. On a direct-attached device the overhead is the
+    concat's extra pass over the array. Small arrays and non-TPU targets
+    take the plain jax.device_put path. `_force` (tests) takes the band
+    path regardless."""
+    import numpy as np
+
+    img = np.asarray(img)
+    if not _force:
+        plat = (
+            device.platform if device is not None else jax.default_backend()
+        )
+        if (
+            plat != "tpu"
+            or img.nbytes < (8 << 20)
+            or img.ndim < 1
+            or img.shape[0] < bands
+        ):
+            return jax.device_put(img, device)
+    edges = [round(i * img.shape[0] / bands) for i in range(bands + 1)]
+    parts = list(
+        _h2d_pool().map(
+            lambda b: jax.device_put(b, device),
+            [img[edges[i]:edges[i + 1]] for i in range(bands)],
+        )
+    )
+    import jax.numpy as jnp
+
+    out = jnp.concatenate(parts, axis=0)
+    return jax.device_put(out, device) if device is not None else out
+
+
 class Timer:
     """Wall-clock ms timer (reference Timer, src/serial/main.cpp:43-58)."""
 

@@ -497,3 +497,16 @@ def test_fetch_image_band_path_matches_asarray():
     np.testing.assert_array_equal(
         fetch_image(jnp.asarray(w), bands=7, _force=True), w
     )
+
+
+def test_push_image_band_path_matches_device_put():
+    """push_image's threaded band upload must reassemble the exact array,
+    including awkward heights, and pass small inputs straight through."""
+    from pano_tpu.timer import push_image
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (307, 129, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(push_image(img, bands=16, _force=True)), img
+    )
+    np.testing.assert_array_equal(np.asarray(push_image(img)), img)
