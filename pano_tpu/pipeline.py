@@ -1038,14 +1038,24 @@ def stitch_all_images_chain(
     pending = [
         stitcher._fused_estimate(devs[i - 1], devs[i]) for i in range(1, n)
     ]
+    # All adjacent-pair packed rows stacked ON DEVICE and fetched with ONE
+    # host round trip (mirroring the auto mode above and the sharded twins)
+    # instead of one RPC per pair; match points stay on device and are
+    # fetched lazily only on the rare low-inlier OpenCV-fallback branch.
+    rows = (
+        _host_fetch(jnp.stack([p[0] for p in pending])) if pending else None
+    )
 
     globals_h: List[Optional[np.ndarray]] = [np.eye(3)]
     last_good = 0
     for i in range(1, n):
         print(f"Stitching image {i + 1} of {n}...", flush=True)
         if last_good == i - 1:
-            packed_dev, pts = pending[i - 1]
-            h = stitcher._finish_fused_estimate(packed_dev, pts)
+            _, pts = pending[i - 1]
+            h = stitcher.interpret_fused_row(
+                rows[i - 1],
+                lambda pts=pts: tuple(np.asarray(a) for a in pts),
+            )
         else:  # rare: previous pair failed; re-estimate against last_good
             h = stitcher.estimate_homography(devs[last_good], devs[i])
         if h is None:

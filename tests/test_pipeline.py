@@ -510,3 +510,26 @@ def test_push_image_band_path_matches_device_put():
         np.asarray(push_image(img, bands=16, _force=True)), img
     )
     np.testing.assert_array_equal(np.asarray(push_image(img)), img)
+
+
+def test_chain_mode_single_fetch_for_estimates(monkeypatch):
+    """The local chain mode must pay exactly ONE host fetch for all n-1
+    adjacent-pair estimates (mirroring the auto mode and the sharded
+    twins), not one RPC per pair."""
+    from pano_tpu import pipeline
+
+    base = checkerboard_texture(128, 280, seed=5)
+    imgs = [
+        np.asarray(base[:, 0:160]),
+        np.asarray(base[:, 60:220]),
+        np.asarray(base[:, 120:280]),
+    ]
+    calls = []
+    real_fetch = pipeline._host_fetch
+    monkeypatch.setattr(
+        pipeline, "_host_fetch", lambda x: (calls.append(1), real_fetch(x))[1]
+    )
+    pano = pipeline.stitch_all_images_chain(imgs, SMALL, print_timing=False)
+    assert pano is not None
+    assert len(calls) == 1, f"expected 1 packed fetch, saw {len(calls)}"
+    assert pano.shape[1] >= 260  # all three images placed
