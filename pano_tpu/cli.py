@@ -130,7 +130,11 @@ def run(
     impl: str,
     argv: Sequence[str],
     config: PanoConfig = DEFAULT_CONFIG,
+    _info: Optional[dict] = None,
 ) -> int:
+    """`_info`, when given, is filled with facts about the run that only the
+    flag-stripped reader knows (currently 'output_file') — the serve loop's
+    status lines read it instead of re-parsing argv and diverging."""
     import os
 
     from pano_tpu.timer import reset_stage_records
@@ -302,6 +306,8 @@ def run(
     if impl == "opencv":
         print("Reading input images...", flush=True)
     reader = read_images_from_args(argv)
+    if _info is not None:
+        _info["output_file"] = reader.output_file
     if impl == "opencv":
         print_stage("Reading input images", t_read.elapsed())
     if len(reader.images) < 2:
@@ -451,24 +457,26 @@ def serve(
         try:
             args = defaults + shlex.split(line)
         except ValueError as e:
-            print(f"Job {n} failed -: {t.elapsed():.3f} ms ({e})", flush=True)
+            # Keep the status-line format machine-readable; detail to stderr.
+            print(f"job {n} parse error: {e}", file=sys.stderr)
+            print(f"Job {n} failed -: {t.elapsed():.3f} ms", flush=True)
             continue
-        # The job's output path (last --out wins, like the reader).
-        out_path = "result.jpg"
-        toks = list(args)
-        while "--out" in toks:
-            i = toks.index("--out")
-            if i + 1 < len(toks):
-                out_path = toks[i + 1]
-            del toks[i:i + 2]
+        # run() fills _info with the output path ITS reader actually used
+        # (after flag stripping) — serve must not re-parse and diverge.
+        info: dict = {}
         try:
-            rc = run(impl, args, config)
-        except SystemExit as e:
-            rc = int(e.code or 0)
-        except Exception as e:  # a bad job must not kill the server
-            print(f"job error: {e}", file=sys.stderr)
+            rc = run(impl, args, config, _info=info)
+        except SystemExit as e:  # a bad job must not kill the server
+            if isinstance(e.code, int) or e.code is None:
+                rc = e.code or 0
+            else:
+                print(f"job {n} exit: {e.code}", file=sys.stderr)
+                rc = -1
+        except Exception as e:
+            print(f"job {n} error: {e}", file=sys.stderr)
             rc = -1
         status = "ok" if rc == 0 else "failed"
+        out_path = info.get("output_file", "-")
         print(f"Job {n} {status} {out_path}: {t.elapsed():.3f} ms", flush=True)
     return 0
 

@@ -620,7 +620,7 @@ def stitch_all_images_chain_sharded(
     packed_dev, pts = fused_estimate_batched(lefts, rights, config, mesh)
     v = pipeline._host_fetch(packed_dev)     # THE single batch host sync
 
-    stitcher = pipeline.get_pair_stitcher(config, print_timing=False)
+    stitcher = pipeline.get_pair_stitcher(config, False)
     devs = [stack[i] for i in range(n)]
     globals_h: List[Optional[np.ndarray]] = [np.eye(3)]
     last_good = 0
@@ -846,7 +846,7 @@ class _ShardedPairStitcher:
     def __init__(self, mesh: Mesh, config: PanoConfig, timing_tag: str = ""):
         self.mesh = mesh
         self.config = config
-        self._inner = pipeline.get_pair_stitcher(config, timing_tag=timing_tag)
+        self._inner = pipeline.get_pair_stitcher(config, True, timing_tag)
         n_hyp = mesh.shape["hyp"]
         r = config.ransac
         if r.num_iterations % n_hyp != 0:

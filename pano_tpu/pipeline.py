@@ -926,7 +926,11 @@ def get_pair_stitcher(
     graphs (_fused_estimate/_fused_estimate_src). A persistent process (the
     CLI `serve` loop, repeated Python-API calls) then pays Python tracing
     once per config instead of once per job; the reference has no analog
-    (each binary run re-does everything, src/serial/main.cpp:417-452)."""
+    (each binary run re-does everything, src/serial/main.cpp:417-452).
+
+    Call with POSITIONAL arguments only: functools.lru_cache keys
+    positional and keyword call patterns separately, so a keyword call
+    would silently duplicate the stitcher (and its traced graphs)."""
     return PairStitcher(config, print_timing, timing_tag)
 
 

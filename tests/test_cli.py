@@ -200,6 +200,7 @@ def test_serve_loop_runs_jobs_and_reports_status(scene_dir, tmp_path, capsys):
         f"{a1} {a2} --out {out1}\n"
         "\n"                                  # blank: ignored
         f"{a1} --out {tmp_path / 'nope.jpg'}\n"  # 1 image: fails, loop lives
+        'broken "quoting\n'                   # shlex error: fails, loop lives
         f"{a1} {a2} --out {out2} --blend feather\n"
         "quit\n"
     )
@@ -208,6 +209,14 @@ def test_serve_loop_runs_jobs_and_reports_status(scene_dir, tmp_path, capsys):
     stdout = capsys.readouterr().out
     assert f"Job 1 ok {out1}:" in stdout
     assert "Job 2 failed" in stdout
-    assert f"Job 3 ok {out2}:" in stdout
+    assert "Job 3 failed -:" in stdout       # machine-readable even on parse error
+    assert f"Job 4 ok {out2}:" in stdout
     assert os.path.exists(out1) and os.path.exists(out2)
     assert cv2.imread(out1).shape[1] >= 128
+    # Every status line keeps the documented shape `Job <n> <st> <out>: x.xxx ms`.
+    import re
+    for line in stdout.splitlines():
+        if line.startswith("Job "):
+            assert re.fullmatch(
+                r"Job \d+ (ok|failed) \S+: \d+\.\d{3} ms", line
+            ), line
