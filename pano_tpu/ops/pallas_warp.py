@@ -70,7 +70,15 @@ RV = 5                     # max vertical gather rounds (chunk spans <= 40
 #                            the fused path's tier ladder.
 RV_FAST = 3
 VW = 512                   # pass-V column span per chunk (4 lane vregs)
-RH = 4                     # horizontal gather rounds over VW
+RH = 4                     # horizontal gather rounds over VW. Measured
+#                            dead end (2026-08-18, v5e): replacing the
+#                            4-src-vreg scan with a per-output-group 384-col
+#                            DYNAMIC window (VMEM roundtrip of packedv +
+#                            3 x 2 gathers, scalar-core corner bounds) was
+#                            bit-identical but 9% SLOWER on the 4K window —
+#                            the store->load dependency breaks the unrolled
+#                            chunks' cross-iteration ILP, same failure mode
+#                            as runtime round predication (see RV note).
 _BORDER = 1                # black border offset baked into padded coords
 # Quality bound on the local Jacobian (minification): the two-pass resample
 # is bit-exact vs the XLA bilinear oracle up to ~1.3x downscale and degrades
