@@ -171,13 +171,19 @@ def _gather_kernel_call(pk, ys, xs, h: int, w: int, p: int, o: int):
     key = (
         jnp.clip(ys.astype(jnp.int32) + a_off, 0, b_y) // BAND
     ).astype(jnp.int32)
-    sorted_keys, order = lax.sort(
+    _, order = lax.sort(
         (key, lax.iota(jnp.int32, k_cap)), dimension=0, num_keys=1,
         is_stable=True,
     )
-    starts = jnp.searchsorted(
-        sorted_keys, jnp.arange(n_bands + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # starts[j] = first sorted position with key >= j = count of keys < j
+    # (permutation-invariant, so the RAW key vector works). A searchsorted
+    # here lowers to a log2(K)-iteration XLA while loop — measured 14 x
+    # ~13 us of serial scalar-space fusions per image on v5e (~0.36 ms per
+    # pair); this one (K, n_bands + 1) compare+reduce fusion is ~30 us.
+    bins = jnp.arange(n_bands + 1, dtype=jnp.int32)
+    starts = jnp.sum(
+        key[:, None] < bins[None, :], axis=0, dtype=jnp.int32
+    )
 
     out = pl.pallas_call(
         _make_kernel(n_bands, wp, k_cap, p, a_off, b_y, b_x),
