@@ -60,6 +60,11 @@ class HarrisOptions:
     #                                on TPU (needs the tile-padded packed
     #                                plane from the scores kernel; falls back
     #                                to the flat XLA gather otherwise)
+    use_pallas_match: bool = True   # Pallas MXU streaming-matcher kernel on
+    #                                TPU (SSD tiles stay in VMEM; falls back
+    #                                to the XLA dense/streaming paths when
+    #                                the shapes miss its tiling — all three
+    #                                are bit-identical, ops/pallas_match.py)
 
     def __post_init__(self):
         if self.nms_neighborhood % 2 != 1:

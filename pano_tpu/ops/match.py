@@ -181,6 +181,7 @@ def match_descriptors(
     ratio_thresh: float = 0.0,
     cross_check: bool = False,
     block_size: int = 0,
+    use_pallas: "bool | None" = None,
 ) -> Matches:
     """Brute-force argmin-SSD matching of query descriptors against train.
 
@@ -198,8 +199,27 @@ def match_descriptors(
     below _DENSE_ELEM_LIMIT elements, else stream train tiles of
     _STREAM_TILE); N > 0 forces the blockwise streaming path with tile N.
     Both paths are bit-identical (see _match_descriptors_streaming).
+
+    `use_pallas`: None = auto (the Pallas MXU streaming kernel on TPU when
+    the shapes fit its tiling, ops/pallas_match.py — all three paths are
+    bit-identical); True forces it (interpret-mode tests); False forces
+    the XLA paths.
     """
     kq, kt = desc_q.shape[0], desc_t.shape[0]
+    if use_pallas is None:
+        from pano_tpu.ops import pallas_match
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and kq % pallas_match.QT == 0
+            and desc_q.shape[1] % 128 == 0
+            and kt > _STREAM_TILE
+        )
+    if use_pallas:
+        return _match_descriptors_pallas(
+            desc_q, valid_q, desc_t, valid_t, max_ssd_thresh,
+            ratio_thresh, cross_check,
+        )
     if block_size == 0:
         if jax.default_backend() == "tpu" or kq * kt > _DENSE_ELEM_LIMIT:
             block_size = _STREAM_TILE
@@ -368,6 +388,49 @@ def _match_descriptors_streaming(
     return Matches(train_idx=best_idx, ssd=best_ssd, valid=valid)
 
 
+def _match_descriptors_pallas(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    max_ssd_thresh: float,
+    ratio_thresh: float,
+    cross_check: bool,
+) -> Matches:
+    """Streaming matcher cores on the Pallas MXU kernel (tiles never touch
+    HBM — see ops/pallas_match.py), with the shared validity/ratio/
+    cross-check epilogue. Bit-identical to the dense and XLA-streaming
+    paths (tested)."""
+    from pano_tpu.ops import pallas_match
+
+    kq, kt = desc_q.shape[0], desc_t.shape[0]
+    ktp = _round_up(kt, pallas_match.TT)
+    if ktp != kt:  # padded columns are invalid -> +inf, never win
+        desc_t = jnp.pad(desc_t, ((0, ktp - kt), (0, 0)))
+        valid_t = jnp.pad(valid_t, (0, ktp - kt))
+    best_ssd, best_idx, second, col_best = (
+        pallas_match.match_streaming_pallas(
+            desc_q, valid_q, desc_t, valid_t
+        )
+    )
+
+    valid = (
+        valid_q
+        & jnp.isfinite(best_ssd)
+        & (best_ssd < jnp.asarray(max_ssd_thresh, jnp.float32))
+    )
+    if ratio_thresh > 0.0:
+        r2 = jnp.asarray(ratio_thresh * ratio_thresh, jnp.float32)
+        valid = valid & (~jnp.isfinite(second) | (best_ssd < r2 * second))
+    if cross_check:
+        rows = jnp.arange(kq, dtype=jnp.int32)
+        valid = valid & (col_best[best_idx] == rows)
+
+    best_ssd = jnp.where(valid, best_ssd, 0.0)
+    best_idx = jnp.where(valid, best_idx, 0)
+    return Matches(train_idx=best_idx, ssd=best_ssd, valid=valid)
+
+
 def match_keypoints(
     kps_q: KeyPoints,
     kps_t: KeyPoints,
@@ -407,6 +470,7 @@ def match_keypoints(
         ratio_thresh=opts.ratio_thresh,
         cross_check=opts.cross_check,
         block_size=opts.match_block,
+        use_pallas=None if opts.use_pallas_match else False,
     )
 
 

@@ -348,3 +348,37 @@ def test_mip_warp_minification_on_tpu():
     # 3.10 on v5e; the kernel is bit-exact vs the mip-sampled oracle).
     assert d.mean() < 4.0, d.mean()
     assert (d > 16).mean() < 0.01, (d > 16).mean()
+
+
+def test_pallas_matcher_bit_identical_on_tpu():
+    """The MXU streaming-matcher kernel (ops/pallas_match.py) must be
+    bit-identical to the XLA streaming matcher at the pipeline's full
+    K=8192 on real hardware (Mosaic lowering, not interpret mode)."""
+    import functools
+
+    from pano_tpu.ops import match as match_ops
+
+    rng = np.random.default_rng(11)
+    k = 8192
+    dq = rng.integers(0, 256, (k, 128)).astype(np.float32)
+    dt = rng.integers(0, 256, (k, 128)).astype(np.float32)
+    dq[:, 75:] = 0.0
+    dt[:, 75:] = 0.0
+    dup = rng.integers(0, k, k // 4)
+    dt[dup] = dt[(dup + 7) % k]          # tie pressure
+    vq = jnp.asarray(rng.random(k) > 0.1)
+    vt = jnp.asarray(rng.random(k) > 0.1)
+    dq, dt = jnp.asarray(dq), jnp.asarray(dt)
+
+    kw = dict(max_ssd_thresh=1.2e6, ratio_thresh=0.8, cross_check=True)
+    ref = jax.jit(functools.partial(
+        match_ops.match_descriptors, **kw, block_size=1024, use_pallas=False
+    ))(dq, vq, dt, vt)
+    got = jax.jit(functools.partial(
+        match_ops.match_descriptors, **kw, use_pallas=True
+    ))(dq, vq, dt, vt)
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_array_equal(
+        np.asarray(ref.train_idx), np.asarray(got.train_idx)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.ssd), np.asarray(got.ssd))
