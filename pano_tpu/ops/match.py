@@ -211,6 +211,10 @@ def match_descriptors(
 
         use_pallas = (
             jax.default_backend() == "tpu"
+            # An explicit block_size forces the XLA streaming path with
+            # that tile (the documented contract — users pin it for VMEM
+            # or A/B debugging); only block_size == 0 may auto-upgrade.
+            and block_size == 0
             and kq % pallas_match.QT == 0
             and desc_q.shape[1] % 128 == 0
             and kt > _STREAM_TILE

@@ -147,10 +147,9 @@ def _kernel(
 
 
 def _cores_xla(desc_q, valid_q, desc_t, valid_t):
-    """Dense XLA twin of the kernel's cores — the custom_vmap batch rule
-    (batched pallas_call with carries cannot lower on Mosaic; the batched
-    sharded paths' problems are small). Same values and tie-breaking
-    (argmin = lowest index)."""
+    """Dense XLA twin of the kernel's cores (the SMALL-problem custom_vmap
+    batch rule — batched pallas_call with carries cannot lower on Mosaic).
+    Same values and tie-breaking (argmin = lowest index)."""
     q_sq = jnp.sum(desc_q * desc_q, axis=1)
     t_sq = jnp.sum(desc_t * desc_t, axis=1)
     dots = jnp.dot(
@@ -226,15 +225,79 @@ def _cores_pallas(
     return best[:, 0], idx[:, 0], second[:, 0], col_best[0]
 
 
+def _cores_stream_xla(desc_q, valid_q, desc_t, valid_t, block: int = 1024):
+    """XLA STREAMING twin of the kernel's cores — the large-problem
+    custom_vmap batch rule. Materializing the dense (Kq, Kt) matrix per
+    batch element would cost 256 MB/pair at the default K=8192 (the exact
+    memory plan both the streaming matcher and this kernel exist to
+    avoid); a lax.scan over train tiles keeps it at Kq x block. Values and
+    tie-breaking identical to the kernel and the dense twin (strict <,
+    earlier tiles win; in-tile argmin takes the lowest index — the same
+    merge formulas as match._match_descriptors_streaming)."""
+    kq, kt = desc_q.shape[0], desc_t.shape[0]
+    assert kt % block == 0, (kt, block)  # kernel callers pad to TT >= block
+    n_tiles = kt // block
+    q_sq = jnp.sum(desc_q * desc_q, axis=1)
+    t_tiles = desc_t.reshape(n_tiles, block, desc_t.shape[1])
+    v_tiles = valid_t.reshape(n_tiles, block)
+    bases = jnp.arange(n_tiles, dtype=jnp.int32) * block
+    cols = jnp.arange(block, dtype=jnp.int32)
+
+    def step(carry, xs):
+        best, best_idx, second = carry
+        dt, vt, base = xs
+        t_sq = jnp.sum(dt * dt, axis=1)
+        dots = jnp.dot(
+            desc_q, dt.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        ssd = q_sq[:, None] + t_sq[None, :] - 2.0 * dots
+        ssd = jnp.where(vt[None, :], ssd, jnp.inf)
+        tb_idx = jnp.argmin(ssd, axis=1).astype(jnp.int32)
+        tb = jnp.min(ssd, axis=1)
+        ts = jnp.min(
+            jnp.where(cols[None, :] == tb_idx[:, None], jnp.inf, ssd), axis=1
+        )
+        cb = jnp.argmin(
+            jnp.where(valid_q[:, None], ssd, jnp.inf), axis=0
+        ).astype(jnp.int32)
+        new_second = jnp.minimum(
+            jnp.maximum(best, tb), jnp.minimum(second, ts)
+        )
+        take = tb < best
+        return (
+            jnp.minimum(best, tb),
+            jnp.where(take, base + tb_idx, best_idx),
+            new_second,
+        ), cb
+
+    init = (
+        jnp.full((kq,), jnp.inf, jnp.float32),
+        jnp.zeros((kq,), jnp.int32),
+        jnp.full((kq,), jnp.inf, jnp.float32),
+    )
+    (best, idx, second), col_best = lax.scan(
+        step, init, (t_tiles, v_tiles, bases)
+    )
+    return best, idx, second, col_best.reshape(kt)
+
+
 @jax.custom_batching.custom_vmap
 def _cores(desc_q, valid_q, desc_t, valid_t):
     return _cores_pallas(desc_q, valid_q, desc_t, valid_t)
 
 
 @_cores.def_vmap
-def _cores_rule(axis_size, in_batched, *args):  # noqa: ARG001
-    assert all(in_batched), "match cores vmap: all args batched"
-    return jax.vmap(_cores_xla)(*args), (True, True, True, True)
+def _cores_rule(axis_size, in_batched, *args):
+    # Broadcast any unbatched operand so mixed in_axes vmaps work.
+    args = tuple(
+        a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        for a, b in zip(args, in_batched)
+    )
+    kq, kt = args[0].shape[1], args[2].shape[1]
+    core = _cores_xla if kq * kt <= 2048 * 2048 else _cores_stream_xla
+    return jax.vmap(core)(*args), (True, True, True, True)
 
 
 @jax.jit

@@ -91,6 +91,39 @@ def test_pallas_match_vmap_falls_back_to_xla_cores():
     outs = jax.vmap(pallas_match.match_streaming_pallas)(
         b_dq, b_vq, b_dt, b_vt
     )
+    for el in range(2):  # BOTH batch elements against their own oracle
+        ref = pallas_match._cores_xla(
+            b_dq[el], b_vq[el], b_dt[el], b_vt[el]
+        )
+        for got, want in zip(outs, ref):
+            np.testing.assert_array_equal(
+                np.asarray(got[el]), np.asarray(want)
+            )
+    # Mixed in_axes (shared train side) must broadcast, not crash.
+    outs2 = jax.vmap(
+        pallas_match.match_streaming_pallas, in_axes=(0, 0, None, None)
+    )(b_dq, b_vq, dt, vt)
     ref0 = pallas_match._cores_xla(dq, vq, dt, vt)
-    for got, want in zip(outs, ref0):
+    for got, want in zip(outs2, ref0):
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want))
+
+
+def test_pallas_match_vmap_large_k_uses_streaming_cores():
+    """Above the dense-twin size cutoff the batch rule must stream train
+    tiles (a dense fallback would be 256 MB/pair at the pipeline's real
+    K=8192 — the exact memory plan the kernel exists to avoid), and the
+    streaming twin must match the dense twin bit-for-bit."""
+    rng = np.random.default_rng(9)
+    kq, kt = 4096, 2 * pallas_match.TT   # kq * kt > the 2048^2 cutoff
+    dq, vq = _random_descs(rng, kq)
+    dt, vt = _random_descs(rng, kt)
+    outs = jax.vmap(
+        pallas_match.match_streaming_pallas, in_axes=(None, None, 0, 0)
+    )(dq, vq, jnp.stack([dt, dt[::-1]]), jnp.stack([vt, vt[::-1]]))
+    ref = pallas_match._cores_xla(dq, vq, dt, vt)
+    for got, want in zip(outs, ref):
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want))
+    # The streaming twin itself is bit-identical to the dense twin.
+    stream = pallas_match._cores_stream_xla(dq, vq, dt, vt)
+    for got, want in zip(stream, ref):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
