@@ -168,6 +168,11 @@ def run(
     # reference's mains set them all explicitly (src/serial/main.cpp:428-435)
     # but expose none on the command line; we expose the full surface:
     #   --mode fold|chain|auto         multi-image strategy
+    #   --anchor auto|first            auto mode's root frame: best-connected
+    #                                  image (robust default) or the first
+    #                                  connected image (renders in chain
+    #                                  mode's frame — the choice when grading
+    #                                  against a reference panorama)
     #   --timing total|stages          total: fused single-sync product path
     #                                  (default for tpu/sharded); stages:
     #                                  per-stage timing lines, one host sync
@@ -219,6 +224,7 @@ def run(
     parity = take_switch("--parity")
     timing = take_flag("--timing", ("total", "stages"))
     mode = take_flag("--mode", ("fold", "chain", "auto"))
+    anchor = take_flag("--anchor", ("auto", "first")) or "auto"
     blend = take_flag("--blend", ("overlay", "feather", "multiband"))
     json_out = take_flag("--json")
     gain = take_flag("--gain", tuple(_ONOFF))
@@ -358,12 +364,14 @@ def run(
             )
             if warmup:
                 stitch_all_images_sharded(
-                    reader.images, config, timing_tag=tag, mode=mode
+                    reader.images, config, timing_tag=tag, mode=mode,
+                    anchor=anchor,
                 )
                 reset_stage_records()  # keep warmup out of --json stages
             with _maybe_profile():
                 panorama = stitch_all_images_sharded(
-                    reader.images, config, timing_tag=tag, mode=mode
+                    reader.images, config, timing_tag=tag, mode=mode,
+                    anchor=anchor,
                 )
 
         if impl != "sharded":
@@ -374,13 +382,13 @@ def run(
                 # but keep them out of the --json stages list.
                 stitch_all_images(
                     reader.images, config, timing_tag=tag, device=device,
-                    mode=mode, timing=timing,
+                    mode=mode, timing=timing, anchor=anchor,
                 )
                 reset_stage_records()
             with _maybe_profile():
                 panorama = stitch_all_images(
                     reader.images, config, timing_tag=tag, device=device,
-                    mode=mode, timing=timing,
+                    mode=mode, timing=timing, anchor=anchor,
                 )
 
     if panorama is None:

@@ -666,6 +666,7 @@ def stitch_all_images_auto_sharded(
     timing_tag: str = "Sharded",
     mesh: Optional[Mesh] = None,
     print_timing: bool = True,
+    anchor: str = "auto",
 ) -> Optional[np.ndarray]:
     """Unordered stitching with the all-pairs estimation sharded: features
     are detected once per image, then ALL n(n-1)/2 pair estimates run as one
@@ -769,7 +770,7 @@ def stitch_all_images_auto_sharded(
         print("No connected image pairs!", file=sys.stderr)
         return None
 
-    globals_h, root = pipeline.max_spanning_tree_globals(counts, h_edge, n)
+    globals_h, root = pipeline.max_spanning_tree_globals(counts, h_edge, n, anchor)
     n_placed = sum(1 for g in globals_h if g is not None)
     print(
         f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
@@ -790,6 +791,7 @@ def stitch_all_images_sharded(
     timing_tag: str = "Sharded",
     mesh: Optional[Mesh] = None,
     mode: str = "fold",
+    anchor: str = "auto",
 ) -> Optional[np.ndarray]:
     """Sharded multi-image stitching.
 
@@ -813,7 +815,7 @@ def stitch_all_images_sharded(
         )
     if mode == "auto":
         return stitch_all_images_auto_sharded(
-            images, config, timing_tag=timing_tag, mesh=mesh
+            images, config, timing_tag=timing_tag, mesh=mesh, anchor=anchor
         )
 
     n_dev = len(jax.devices())

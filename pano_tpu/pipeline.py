@@ -942,6 +942,7 @@ def stitch_all_images(
     device: Optional[jax.Device] = None,
     mode: str = "fold",
     timing: str = "stages",
+    anchor: str = "auto",
 ) -> Optional[np.ndarray]:
     """Multi-image stitching. Returns host uint8 BGR.
 
@@ -973,7 +974,7 @@ def stitch_all_images(
         )
     if mode == "auto":
         return stitch_all_images_auto(
-            images, config, print_timing, timing_tag, device
+            images, config, print_timing, timing_tag, device, anchor
         )
     t = Timer()
     if not images:
@@ -1081,6 +1082,7 @@ def stitch_all_images_auto(
     print_timing: bool = True,
     timing_tag: str = "",
     device: Optional[jax.Device] = None,
+    anchor: str = "auto",
 ) -> Optional[np.ndarray]:
     """Unordered stitching: all-pairs matching + maximum spanning tree.
 
@@ -1173,7 +1175,7 @@ def stitch_all_images_auto(
         print("No connected image pairs!", file=sys.stderr)
         return None
 
-    globals_h, root = max_spanning_tree_globals(counts, h_edge, n)
+    globals_h, root = max_spanning_tree_globals(counts, h_edge, n, anchor)
     n_placed = sum(1 for g in globals_h if g is not None)
     print(
         f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
@@ -1186,14 +1188,27 @@ def stitch_all_images_auto(
 
 
 def max_spanning_tree_globals(
-    counts: np.ndarray, h_edge: dict, n: int
+    counts: np.ndarray, h_edge: dict, n: int, anchor: str = "auto"
 ) -> Tuple[List[Optional[np.ndarray]], int]:
     """Maximum spanning tree (Prim) over the inlier-count graph, rooted at
     the best-connected image; composes edge homographies into the root's
     frame. `h_edge[(i, j)]` (i < j) maps image j -> image i. Returns
     (globals_h, root) with None for disconnected images. Shared by the
-    local and sharded auto modes."""
-    root = int(np.argmax(counts.sum(axis=1)))
+    local and sharded auto modes.
+
+    `anchor`: 'auto' roots at the best-connected image (most robust for
+    star-shaped overlap graphs); 'first' roots at the first CONNECTED
+    image — the auto panorama then renders in the same projective frame
+    chain mode would use, which matters when grading against a reference
+    panorama (the quality gate aligns panoramas with one homography, so a
+    different root frame reads as boundary error — BASELINE.md round-3
+    notes)."""
+    deg = counts.sum(axis=1)
+    if anchor == "first":
+        connected = np.nonzero(deg > 0)[0]
+        root = int(connected[0]) if connected.size else 0
+    else:
+        root = int(np.argmax(deg))
     in_tree = {root}
     globals_h: List[Optional[np.ndarray]] = [None] * n
     globals_h[root] = np.eye(3)

@@ -533,3 +533,35 @@ def test_chain_mode_single_fetch_for_estimates(monkeypatch):
     assert pano is not None
     assert len(calls) == 1, f"expected 1 packed fetch, saw {len(calls)}"
     assert pano.shape[1] >= 260  # all three images placed
+
+
+def test_auto_mode_anchor_first_matches_chain_frame():
+    """--anchor first roots the auto MST at the first connected image, so
+    on ordered input the auto panorama renders in chain mode's projective
+    frame (same canvas) instead of the best-connected image's frame —
+    the knob for grading against a reference panorama (BASELINE.md
+    round-3 seam-metric note)."""
+    from pano_tpu import pipeline
+
+    base = checkerboard_texture(128, 300, seed=6)
+    imgs = [
+        np.asarray(base[:, 0:160]),
+        np.asarray(base[:, 70:230]),
+        np.asarray(base[:, 140:300]),
+    ]
+    chain = pipeline.stitch_all_images_chain(imgs, SMALL, print_timing=False)
+    auto_first = pipeline.stitch_all_images_auto(
+        imgs, SMALL, print_timing=False, anchor="first"
+    )
+    assert chain is not None and auto_first is not None
+    assert auto_first.shape == chain.shape
+    # Same frame means near-identical pixels (estimates may differ in ulps).
+    diff = np.abs(
+        auto_first.astype(np.int32) - chain.astype(np.int32)
+    ).mean()
+    assert diff < 3.0, diff
+    # Default anchor still roots at the best-connected (middle) image.
+    auto_def = pipeline.stitch_all_images_auto(
+        imgs, SMALL, print_timing=False
+    )
+    assert auto_def is not None
