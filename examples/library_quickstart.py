@@ -83,11 +83,21 @@ def synthetic_demo():
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out = "panorama.jpg"
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
-    if len(args) >= 2:
-        stitch_files(args, out)
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    parser.add_argument(
+        "images", nargs="*", help="two or more image files (none: synthetic demo)"
+    )
+    parser.add_argument("--out", default="panorama.jpg", help="output file")
+    ns = parser.parse_args()
+    if len(ns.images) >= 2:
+        stitch_files(ns.images, ns.out)
+    elif len(ns.images) == 1:
+        # One path is almost always a typo'd second path — fail loudly
+        # instead of silently running the synthetic demo.
+        parser.error("need at least two images (or none for the synthetic demo)")
     else:
         synthetic_demo()

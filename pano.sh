@@ -131,11 +131,17 @@ EOF
         run_env
         echo "Running $IMPL implementation..."
         env "${ENV_VARS[@]}" "$PYTHON" -m pano_tpu.cli "$IMPL" "${COMMON_ARGS[@]}"
-        if [ $? -eq 0 ]; then
+        RC=$?
+        # Propagate the CLI's exit code (the reference driver prints the same
+        # messages but always exits 0 — /root/reference/pano.sh:207-213 even
+        # reports "$?" after the if-test clobbered it; scripts and fleets
+        # need the real rc).
+        if [ $RC -eq 0 ]; then
             echo "Stitching completed successfully!"
         else
-            echo "Stitching failed with error code $?"
+            echo "Stitching failed with error code $RC"
         fi
+        exit $RC
         ;;
 
     serve)
@@ -163,7 +169,8 @@ EOF
         echo "Running performance profiling on $IMPL implementation..."
         env "${ENV_VARS[@]}" PANO_TPU_PROFILE="$TRACE_DIR" \
             "$PYTHON" -m pano_tpu.cli "$IMPL" "${COMMON_ARGS[@]}" | tee "${IMPL}_perf_report.txt"
-        if [ ${PIPESTATUS[0]} -eq 0 ]; then
+        RC=${PIPESTATUS[0]}
+        if [ $RC -eq 0 ]; then
             echo "Performance profiling completed successfully!"
             echo "Performance report saved to ${IMPL}_perf_report.txt"
             echo "Profiler trace (xplane) saved to ${TRACE_DIR}"
@@ -174,8 +181,9 @@ EOF
                 echo "Per-op device summary appended to ${IMPL}_perf_report.txt"
             fi
         else
-            echo "Performance profiling failed with error code $?"
+            echo "Performance profiling failed with error code $RC"
         fi
+        exit $RC
         ;;
 
     eval)
@@ -197,11 +205,13 @@ EOF
         echo "Evaluating panorama quality..."
         PYTHONPATH="$SCRIPT_DIR:$PYTHONPATH" "$PYTHON" \
             "$SCRIPT_DIR/evaluate_panorama.py" "$GENERATED_PANORAMA" "$REFERENCE_PANORAMA"
-        if [ $? -eq 0 ]; then
+        RC=$?
+        if [ $RC -eq 0 ]; then
             echo "Evaluation completed successfully!"
         else
-            echo "Evaluation failed with error code $?"
+            echo "Evaluation failed with error code $RC"
         fi
+        exit $RC
         ;;
 
     help)

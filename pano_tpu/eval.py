@@ -230,5 +230,30 @@ def evaluate_quality(metrics: Dict[str, float]) -> str:
     cats, overall = grade(metrics)
     for name, val in metrics.items():
         print(f"{name:17s}: {val:.4f} [{cats[name]}]")
+    if seam_frame_caveat(metrics):
+        # Known grader blind spot (BASELINE.md round-3 notes): the seam
+        # metric measures the gradient of |warped - test| on the overlap
+        # boundary ring AFTER a single-homography alignment, so a panorama
+        # rendered in a different projective root frame (e.g. auto mode
+        # rooted at a different image) reads as seam error even when it is
+        # visually seamless. High alignment quality + poor seam is that
+        # signature.
+        print(
+            "note: high inlier ratio with poor seam smoothness usually "
+            "means the panoramas are rendered in different projective root "
+            "frames (not actual seams) — re-render with a matching anchor "
+            "(e.g. --anchor first) to compare seams."
+        )
     print(f"\nOverall stitching quality: {overall}")
     return overall
+
+
+def seam_frame_caveat(metrics: Dict[str, float]) -> bool:
+    """True when the metric pattern indicates a root-frame mismatch rather
+    than real seams: alignment is good (inlier ratio at/above the 'good'
+    threshold) while seam smoothness grades poor."""
+    cats, _ = grade(metrics)
+    return (
+        cats.get("Seam Smoothness") == "poor"
+        and metrics.get("Inlier Ratio", 0.0) >= GUIDELINES["Inlier Ratio"][1]
+    )

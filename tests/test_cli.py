@@ -186,6 +186,25 @@ def test_parity_preset_defaults_to_stage_timing(scene_dir, tmp_path, capsys):
     assert "Harris Corner Detection" in capsys.readouterr().out
 
 
+def test_pano_sh_run_propagates_failure_exit_code(tmp_path):
+    """The shell driver must exit nonzero when the CLI fails (the reference's
+    pano.sh swallows the code — /root/reference/pano.sh:207-213; ours
+    propagates it so scripts and fleets can branch on it)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            "bash", os.path.join(repo, "pano.sh"), "run", "serial",
+            "--no-gpu", str(tmp_path / "nope_a.jpg"),
+            str(tmp_path / "nope_b.jpg"),
+        ],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert out.returncode != 0, out.stdout + out.stderr
+    assert "Stitching failed with error code" in out.stdout
+
+
 def test_serve_loop_runs_jobs_and_reports_status(scene_dir, tmp_path, capsys):
     """serve: one warm process, one job per stdin line (run's argument
     surface + default flags), machine-readable Job status lines, and bad

@@ -103,6 +103,52 @@ def test_compute_metrics_detects_misalignment(rng):
     assert m["SSIM"] < 0.9
 
 
+def test_seam_frame_caveat_pattern(capsys):
+    """High inlier ratio + poor seam prints the root-frame hint; weak
+    alignment does not (then poor seam is likely a real seam/misalignment)."""
+    metrics = {
+        "PSNR": 31.0, "SSIM": 0.95, "Inlier Ratio": 0.80,
+        "Reprojection Error": 0.9, "Seam Smoothness": 56.0,
+    }
+    assert peval.seam_frame_caveat(metrics)
+    peval.evaluate_quality(metrics)
+    assert "different projective root frames" in capsys.readouterr().out
+
+    weak = dict(metrics, **{"Inlier Ratio": 0.4})
+    assert not peval.seam_frame_caveat(weak)
+    good_seam = dict(metrics, **{"Seam Smoothness": 5.0})
+    assert not peval.seam_frame_caveat(good_seam)
+    peval.evaluate_quality(good_seam)
+    assert "root frames" not in capsys.readouterr().out
+
+
+def test_seam_caveat_fires_on_rerooted_panorama():
+    """Integration: the SAME panorama re-rendered in a different projective
+    root frame aligns near-perfectly (high inliers) but its overlap boundary
+    ring cuts through content, so the seam metric reads large — exactly the
+    grader blind spot the caveat flags (BASELINE.md round-3 auto-mode notes).
+    """
+    import os
+
+    import cv2
+
+    path = "/root/reference/images/oilseed/oilseed1.jpg"
+    if not os.path.exists(path):
+        pytest.skip("bundled reference scenes absent")
+    # A real photo: ORB matches it cleanly (synthetic circle fields are too
+    # self-similar to clear the 0.70 inlier gate this test needs).
+    img = cv2.resize(cv2.imread(path), (320, 240))
+    # A mild projective re-rooting (what a different MST anchor produces).
+    h_reroot = np.array(
+        [[0.975, 0.03, 6.0], [-0.025, 1.015, 4.5], [1.0e-4, -0.6e-4, 1.0]]
+    )
+    gen = cv2.warpPerspective(img, h_reroot, (320, 240))
+    m = peval.compute_metrics(gen, img)
+    assert m["Inlier Ratio"] >= 0.70, m          # alignment recovers fine
+    assert m["Seam Smoothness"] > 30.0, m        # ring cuts through content
+    assert peval.seam_frame_caveat(m)
+
+
 # --- SSIM cross-validation against an independent brute-force oracle ------
 # The environment has no skimage (the reference's SSIM source,
 # evaluate_panorama.py:47), so pano_tpu.eval re-implements Wang et al. 2004

@@ -34,3 +34,23 @@ def test_library_quickstart_synthetic_demo():
     assert m, out.stdout
     h, w = int(m.group(1)), int(m.group(2))
     assert abs(h - 480) <= 2 and abs(w - 960) <= 2, (h, w)
+
+
+def test_library_quickstart_single_image_errors(tmp_path):
+    """One image path is almost always a typo'd second path: the example
+    must exit with a usage error, not silently run the synthetic demo
+    (ADVICE r3). Also covers the argparse rewrite: --out must not be
+    swallowed into the positional image list."""
+    env = dict(os.environ, PANO_CPU="1")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "library_quickstart.py"),
+            str(tmp_path / "only_one.jpg"),
+            "--out", str(tmp_path / "pano.jpg"),
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert out.returncode != 0
+    assert "at least two images" in out.stderr
+    assert "synthetic demo ok" not in out.stdout
