@@ -697,18 +697,12 @@ def stitch_all_images_auto_sharded(
     devs = [jnp.asarray(im, jnp.uint8) for im in images]
 
     # Detect + describe once per image (pallas kernels stay usable — per-
-    # image dispatches, pipelined by the async queue).
-    @jax.jit
-    def det(img):
-        kps, pk = harris_ops.harris_detect(img, cfg_h, return_packed=True)
-        desc, bv = match_ops.extract_patch_descriptors(
-            img, kps, cfg_h.patch_size, packed_plane=pk,
-            use_pallas=None if cfg_h.use_pallas_gather else False,
-        )
-        return kps.xy, desc, bv
-
+    # image dispatches, pipelined by the async queue). The detect graph is
+    # the config-memoized one the local auto mode shares
+    # (pipeline.get_auto_graphs), so repeated jobs re-trace nothing.
+    det, _ = pipeline.get_auto_graphs(config)
     feats = [det(d) for d in devs]
-    xy = jnp.stack([f[0] for f in feats])          # (n, K, 2)
+    xy = jnp.stack([f[0].xy for f in feats])       # (n, K, 2)
     desc = jnp.stack([f[1] for f in feats])        # (n, K, D)
     bv = jnp.stack([f[2] for f in feats])          # (n, K)
 

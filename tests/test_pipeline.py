@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from pano_tpu.config import DEFAULT_CONFIG, HarrisOptions, PanoConfig, RansacOptions
+from pano_tpu import pipeline
 from pano_tpu.pipeline import PairStitcher, stitch_all_images
 
 SMALL = PanoConfig(
@@ -152,6 +153,32 @@ def test_stitch_all_auto_mode_unordered():
         pano[:hmin, :270].astype(int) - base[:hmin, :270].astype(int)
     ).max(-1)
     assert (d > 30).mean() < 0.08, (d > 30).mean()
+
+
+def test_auto_mode_graphs_memoized_across_calls():
+    """A second auto job with the same config must re-trace NOTHING: the
+    detect/pair graphs are config-memoized at module level (VERDICT r3 weak
+    #2 — they used to be rebuilt inside stitch_all_images_auto on every
+    call, re-tracing everything per serve job)."""
+    base = checkerboard_texture(128, 280, seed=4)
+    imgs = [
+        base[:, 140:280].copy(),
+        base[:, 0:140].copy(),
+        base[:, 70:210].copy(),
+    ]
+    p1 = stitch_all_images(imgs, SMALL, print_timing=False, mode="auto")
+    assert p1 is not None
+    detect_fn, pair_fn = pipeline.get_auto_graphs(
+        pipeline._platform_config(SMALL, None)
+    )
+    sizes = (detect_fn._cache_size(), pair_fn._cache_size())
+    assert sizes[0] >= 1 and sizes[1] >= 1  # first job populated the caches
+    hits0 = pipeline.get_auto_graphs.cache_info().hits
+    p2 = stitch_all_images(imgs, SMALL, print_timing=False, mode="auto")
+    assert p2 is not None
+    assert pipeline.get_auto_graphs.cache_info().hits > hits0
+    assert (detect_fn._cache_size(), pair_fn._cache_size()) == sizes
+    np.testing.assert_array_equal(p1, p2)
 
 
 def test_stitch_all_auto_disconnected_image_excluded():
