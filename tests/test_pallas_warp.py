@@ -307,3 +307,36 @@ def test_rv_fast_variant_matches_full(img):
         ]
     )
     assert PW.pick_rv(np.linalg.inv(rot), 256, 512) == PW.RV
+
+
+def test_vmapped_warp_matches_single_warps():
+    """vmap over warp_packed must lower to ONE natively-batched kernel
+    launch (custom_vmap -> (B, ty, tx) grid) and be bit-identical to the
+    per-image single-warp loop — the enabler for the sharded/batched
+    composite paths running the kernel."""
+    r = np.random.default_rng(11)
+    imgs = r.integers(0, 256, (3, 160, 220, 3)).astype(np.uint8)
+    ms = []
+    for k, (dx, dy) in enumerate([(3.5, 1.25), (-7.0, 4.5), (12.25, -2.0)]):
+        m = np.eye(3)
+        m[0, 2], m[1, 2] = dx, dy
+        m[2, 0] = 1e-5 * (k - 1)
+        ms.append(np.linalg.inv(m))
+    packed = jnp.stack([PW.pack_bgra(jnp.asarray(im)) for im in imgs])
+    params = jnp.stack(
+        [PW.make_params(m, 0.0, 0.0, 160, 220) for m in ms]
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        singles = [
+            PW.warp_packed(packed[i], params[i], 128, 256) for i in range(3)
+        ]
+        rgb_b, w_b = jax.vmap(
+            lambda s, p: PW.warp_packed(s, p, 128, 256)
+        )(packed, params)
+
+    for i in range(3):
+        np.testing.assert_array_equal(np.asarray(rgb_b[i]),
+                                      np.asarray(singles[i][0]))
+        np.testing.assert_array_equal(np.asarray(w_b[i]),
+                                      np.asarray(singles[i][1]))
