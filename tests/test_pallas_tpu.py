@@ -382,3 +382,88 @@ def test_pallas_matcher_bit_identical_on_tpu():
         np.asarray(ref.train_idx), np.asarray(got.train_idx)
     )
     np.testing.assert_array_equal(np.asarray(ref.ssd), np.asarray(got.ssd))
+
+
+def test_batched_warp_kernel_vmapped_on_tpu(img):
+    """The natively-batched warp grid under vmap (custom_vmap -> one
+    (B, ty, tx) Mosaic launch) must be bit-identical to the single-warp
+    loop on hardware — the enabler for the sharded composite running the
+    kernel (VERDICT r3 #1)."""
+    from pano_tpu.ops import pallas_warp as PW
+
+    ms = []
+    for k, (dx, dy) in enumerate([(3.5, 1.25), (-7.0, 4.5), (12.25, -2.0)]):
+        m = np.eye(3)
+        m[0, 2], m[1, 2] = dx, dy
+        m[2, 0] = 1e-5 * (k - 1)
+        ms.append(np.linalg.inv(m))
+    packed = jnp.stack([PW.pack_bgra(jnp.asarray(img))] * 3)
+    params = jnp.stack(
+        [PW.make_params(m, 0.0, 0.0, img.shape[0], img.shape[1]) for m in ms]
+    )
+    singles = [
+        PW.warp_packed(packed[i], params[i], 128, 256) for i in range(3)
+    ]
+    rgb_b, w_b = jax.vmap(
+        lambda s, p: PW.warp_packed(s, p, 128, 256)
+    )(packed, params)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(rgb_b[i]), np.asarray(singles[i][0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(w_b[i]), np.asarray(singles[i][1])
+        )
+
+
+def test_sharded_composite_runs_warp_kernel_on_tpu():
+    """warp_windows_batched must route to the Pallas kernel on hardware
+    (shard_map over a 1-device mesh on this rig) and match the XLA route,
+    and composite_global_sharded end-to-end must match the local composite.
+    """
+    from pano_tpu import pipeline
+    from pano_tpu.config import HarrisOptions, PanoConfig, RansacOptions
+    from pano_tpu.parallel import shard
+
+    cfg = PanoConfig(harris=HarrisOptions(max_keypoints=512))
+    r = np.random.default_rng(31)
+    base = r.integers(0, 256, (256, 1024, 3)).astype(np.uint8)
+    imgs = [base[:, i * 192 : i * 192 + 384].copy() for i in range(4)]
+    globals_h = [np.eye(3)]
+    for i in range(1, 4):
+        h = np.eye(3)
+        h[0, 2] = 192.0 * i
+        h[2, 0] = 2e-6 * i
+        globals_h.append(h)
+    devs = [jnp.asarray(im, jnp.uint8) for im in imgs]
+
+    mesh = shard.make_mesh(n_data=1, n_hyp=1)
+    # Kernel route is the default on TPU; plan must accept this batch.
+    m_invs = np.stack([np.linalg.inv(g) for g in globals_h[1:]])
+    origins = np.zeros((3, 2))
+    assert shard.pallas_warp_plan(m_invs, origins, 256, 1024) is not None
+
+    p_sh = shard.composite_global_sharded(
+        imgs, devs, globals_h, cfg, mesh=mesh, anchor=0
+    )
+    p_lo = pipeline.composite_global(imgs, devs, globals_h, cfg, anchor=0)
+    assert p_sh is not None and p_lo is not None
+    assert p_sh.shape == p_lo.shape
+    d = np.abs(p_sh.astype(int) - p_lo.astype(int)).max(-1)
+    assert (d > 3).mean() < 0.01, (d.max(), (d > 3).mean())
+
+    # And the throughput path: batched pairs through the kernel route.
+    lefts = jnp.stack([devs[0], devs[1]])
+    rights = jnp.stack([devs[1], devs[2]])
+    hs = np.stack([globals_h[1], globals_h[1]])  # right -> left: x + 192
+    kern = shard.composite_pairs_batched(
+        lefts, rights, hs, np.array([True, True]), cfg, mesh
+    )
+    xla = shard.composite_pairs_batched(
+        lefts, rights, hs, np.array([True, True]), cfg, mesh,
+        use_pallas=False,
+    )
+    for b in range(2):
+        assert kern[b].shape == xla[b].shape
+        db = np.abs(kern[b].astype(int) - xla[b].astype(int)).max(-1)
+        assert (db > 3).mean() < 0.01, (b, db.max(), (db > 3).mean())
