@@ -131,10 +131,13 @@ def run(
     argv: Sequence[str],
     config: PanoConfig = DEFAULT_CONFIG,
     _info: Optional[dict] = None,
+    _preloaded: Optional[dict] = None,
 ) -> int:
     """`_info`, when given, is filled with facts about the run that only the
     flag-stripped reader knows (currently 'output_file') — the serve loop's
-    status lines read it instead of re-parsing argv and diverging."""
+    status lines read it instead of re-parsing argv and diverging.
+    `_preloaded` (serve's decode-ahead worker) maps image path -> decoded
+    array; see io.read_images_from_args."""
     import os
 
     from pano_tpu.timer import reset_stage_records
@@ -311,7 +314,7 @@ def run(
     t_read = Timer()
     if impl == "opencv":
         print("Reading input images...", flush=True)
-    reader = read_images_from_args(argv)
+    reader = read_images_from_args(argv, preloaded=_preloaded)
     if _info is not None:
         _info["output_file"] = reader.output_file
     if impl == "opencv":
@@ -443,8 +446,22 @@ def serve(
     Default flags passed to `serve` itself (e.g. --mode chain) are prepended
     to every job line, so a fleet can pin a configuration at startup.
     The reference has no analog (each binary run is one-shot).
+
+    Decode-ahead: when the next job line is already queued on stdin (fleet
+    usage — jobs.txt or a pipe), its JPEG decode runs on a worker thread
+    WHILE the current job's device work and tunnel transfers are in flight
+    (cv2's codec releases the GIL; the main thread mostly waits on RPC I/O
+    on this 1-core host), so steady-state jobs pay max(decode, rest)
+    instead of decode + rest. Interactive stdin (no line queued yet) simply
+    decodes inline as before.
     """
+    import os
+    import queue
     import shlex
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pano_tpu.io import imread_bgr
 
     defaults = list(argv)
     stdin = sys.stdin if stdin is None else stdin
@@ -453,27 +470,129 @@ def serve(
         " 'quit' or EOF ends",
         flush=True,
     )
+
+    # Pump stdin on a thread so the loop can PEEK at the next job without
+    # blocking the current one (None marks EOF).
+    line_q: "queue.Queue" = queue.Queue()
+
+    def _pump():
+        try:
+            for raw in stdin:
+                line_q.put(raw)
+        finally:
+            line_q.put(None)
+
+    threading.Thread(target=_pump, daemon=True).start()
+    decode_pool = ThreadPoolExecutor(max_workers=1)
+
+    # The flags `run` strips before its reader — the decode-ahead parser
+    # must strip the same set or it would misread flag values as paths
+    # (harmless — a stale cache entry is never looked up — but wasteful).
+    value_flags = {
+        "--timing", "--mode", "--anchor", "--blend", "--json", "--gain",
+        "--k", "--nms-thresh", "--nms-size", "--patch", "--ssd-thresh",
+        "--kpts", "--ratio", "--topk", "--match-block", "--cross-check",
+        "--iters", "--dist", "--seed", "--min-inliers", "--refine",
+        "--out",
+    }
+    switch_flags = {"--warmup", "--parity"}
+
+    def _job_image_paths(args):
+        """The image paths a job's reader will load (--dir expansion and
+        positional rules of io.read_images_from_args), without loading."""
+        paths, dir_name = [], None
+        i = 0
+        while i < len(args):
+            a = args[i]
+            if a == "--dir":
+                dir_name = args[i + 1] if i + 1 < len(args) else None
+                i += 2
+            elif a in value_flags:
+                i += 2
+            elif a in switch_flags:
+                i += 1
+            else:
+                paths.append(a)
+                i += 1
+        if dir_name:
+            if not os.path.isdir(dir_name):
+                return []
+            return sorted(
+                os.path.join(dir_name, e)
+                for e in os.listdir(dir_name)
+                if os.path.isfile(os.path.join(dir_name, e))
+            )
+        return paths
+
+    def _decode(paths):
+        return {p: imread_bgr(p) for p in paths}
+
     n = 0
-    for line in stdin:
-        line = line.strip()
+    eof = False
+    prefetched = None  # (stripped line, args or None, decode future or None)
+
+    while True:
+        if prefetched is not None:
+            line, args, fut = prefetched
+            prefetched = None
+        else:
+            if eof:
+                break
+            raw = line_q.get()
+            if raw is None:
+                break
+            line, args, fut = raw.strip(), None, None
         if not line:
             continue
         if line in ("quit", "exit"):
             break
         n += 1
         t = Timer()
-        try:
-            args = defaults + shlex.split(line)
-        except ValueError as e:
-            # Keep the status-line format machine-readable; detail to stderr.
-            print(f"job {n} parse error: {e}", file=sys.stderr)
-            print(f"Job {n} failed -: {t.elapsed():.3f} ms", flush=True)
-            continue
+        if args is None:
+            try:
+                args = defaults + shlex.split(line)
+            except ValueError as e:
+                # Keep the status-line format machine-readable; detail to
+                # stderr.
+                print(f"job {n} parse error: {e}", file=sys.stderr)
+                print(f"Job {n} failed -: {t.elapsed():.3f} ms", flush=True)
+                continue
+
+        # Peek the next queued line and start ITS decode now, so it overlaps
+        # this job's device work (a tiny timeout gives the pump thread time
+        # to surface a line that is in flight on a fast pipe).
+        if prefetched is None and not eof:
+            try:
+                raw_next = line_q.get(timeout=0.05)
+            except queue.Empty:
+                raw_next = False
+            if raw_next is None:
+                eof = True
+            elif raw_next is not False:
+                nl = raw_next.strip()
+                nargs = nfut = None
+                if nl and nl not in ("quit", "exit"):
+                    try:
+                        nargs = defaults + shlex.split(nl)
+                        nfut = decode_pool.submit(
+                            _decode, _job_image_paths(nargs)
+                        )
+                    except ValueError:
+                        nargs = None  # its turn will report the parse error
+                prefetched = (nl, nargs, nfut)
+
+        pre = None
+        if fut is not None:
+            try:
+                pre = fut.result()
+            except Exception:
+                pre = None  # decode-ahead failure: job decodes inline
+
         # run() fills _info with the output path ITS reader actually used
         # (after flag stripping) — serve must not re-parse and diverge.
         info: dict = {}
         try:
-            rc = run(impl, args, config, _info=info)
+            rc = run(impl, args, config, _info=info, _preloaded=pre)
         except SystemExit as e:  # a bad job must not kill the server
             if isinstance(e.code, int) or e.code is None:
                 rc = e.code or 0

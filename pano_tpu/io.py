@@ -154,9 +154,23 @@ def imwrite_bgr(path: str, img: np.ndarray) -> bool:
     return True
 
 
-def read_images_from_args(argv: Sequence[str]) -> ImageReaderResult:
-    """Parse argv (excluding program name) exactly like readImagesFromArgs."""
+def read_images_from_args(
+    argv: Sequence[str],
+    preloaded: Optional[dict] = None,
+) -> ImageReaderResult:
+    """Parse argv (excluding program name) exactly like readImagesFromArgs.
+
+    `preloaded` maps path -> decoded BGR array (or None for unreadable):
+    the serve loop's decode-ahead worker fills it so a job's JPEG decode
+    overlaps the previous job's device work; paths not in the dict decode
+    here as usual. Semantics (warnings, skip-on-unreadable, ordering) are
+    identical either way."""
     result = ImageReaderResult(images=[], output_file="result.jpg")
+
+    def _read(path):
+        if preloaded is not None and path in preloaded:
+            return preloaded[path]
+        return imread_bgr(path)
 
     file_names: List[str] = []
     dir_name = ""
@@ -200,7 +214,7 @@ def read_images_from_args(argv: Sequence[str]) -> ImageReaderResult:
             if os.path.isfile(os.path.join(dir_name, e))
         )
         for file_path in entries:
-            img = imread_bgr(file_path)
+            img = _read(file_path)
             if img is None:
                 print(
                     f"Warning: Unable to open image file: {file_path}",
@@ -211,7 +225,7 @@ def read_images_from_args(argv: Sequence[str]) -> ImageReaderResult:
             result.paths.append(file_path)
     else:
         for file_name in file_names:
-            img = imread_bgr(file_name)
+            img = _read(file_name)
             if img is None:
                 print(
                     f"Warning: Unable to open image file: {file_name}",

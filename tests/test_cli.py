@@ -186,6 +186,56 @@ def test_parity_preset_defaults_to_stage_timing(scene_dir, tmp_path, capsys):
     assert "Harris Corner Detection" in capsys.readouterr().out
 
 
+def test_serve_decode_ahead_prefetches_next_job(scene_dir, tmp_path, monkeypatch):
+    """With the next job line already queued, serve must decode its images
+    on the worker thread and hand them to run() preloaded (VERDICT r3
+    missing #3: the codec never overlapped device work)."""
+    import io
+
+    a1 = os.path.join(scene_dir, "a1.png")
+    a2 = os.path.join(scene_dir, "a2.png")
+    seen = []
+    real_run = cli.run
+
+    def spy(impl, args, config=None, _info=None, _preloaded=None):
+        seen.append(None if _preloaded is None else sorted(_preloaded))
+        return real_run(impl, args, _info=_info, _preloaded=_preloaded)
+
+    monkeypatch.setattr(cli, "run", spy)
+    jobs = io.StringIO(
+        f"{a1} {a2} --out {tmp_path / 'p1.jpg'}\n"
+        f"{a1} {a2} --out {tmp_path / 'p2.jpg'}\n"
+        "quit\n"
+    )
+    rc = cli.serve("serial", ["--kpts", "256"], stdin=jobs)
+    assert rc == 0
+    assert len(seen) == 2
+    assert seen[0] is None                   # nothing to prefetch from
+    assert seen[1] == sorted([a1, a2])       # decoded ahead on the worker
+    assert os.path.exists(tmp_path / "p1.jpg")
+    assert os.path.exists(tmp_path / "p2.jpg")
+
+
+def test_read_images_preloaded_cache():
+    """read_images_from_args must serve paths from the decode-ahead cache
+    (including cached None = unreadable, same warning/skip semantics)."""
+    import numpy as np
+
+    from pano_tpu.io import read_images_from_args
+
+    img = np.full((8, 8, 3), 7, np.uint8)
+    res = read_images_from_args(
+        ["/definitely/not/a.png", "/definitely/not/b.png", "--out", "o.jpg"],
+        preloaded={
+            "/definitely/not/a.png": img,
+            "/definitely/not/b.png": None,
+        },
+    )
+    assert len(res.images) == 1
+    np.testing.assert_array_equal(res.images[0], img)
+    assert res.output_file == "o.jpg"
+
+
 def test_pano_sh_run_propagates_failure_exit_code(tmp_path):
     """The shell driver must exit nonzero when the CLI fails (the reference's
     pano.sh swallows the code — /root/reference/pano.sh:207-213; ours
