@@ -565,20 +565,32 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         # the dead rounds' gathers are cheap next to that loss. The round
         # COUNT is static instead: callers compile the rv=RV_FAST variant
         # when the homography's chunk-row budget allows (see RV_FAST).
+        #
+        # Round-select arithmetic: a tap with sub-window row index q lives
+        # in round q >> 3 at sublane q & 7, so the round test is ONE
+        # compare against a loop-invariant (li >> 3) instead of the
+        # two-compare range test, and the gather index is a loop-invariant
+        # AND instead of a per-round clip (identical results: discarded
+        # lanes' gathered values never reach the mix, and selected lanes'
+        # indices are equal by definition; negative li — off-image
+        # don't-care lanes — shifts to a negative round index that matches
+        # nothing, exactly like the old range test).
         g0 = jnp.zeros((8, VW), jnp.int32)
         g1 = jnp.zeros((8, VW), jnp.int32)
+        li_r0 = li >> 3          # tap-0 round index per lane
+        li_a0 = li & 7           # tap-0 sublane within its round
+        li_r1 = (li + 1) >> 3
+        li_a1 = (li + 1) & 7
         for r in range(rv):
             # Round r serves g0 taps with li in [8r, 8r+7] and g1 taps
             # with li in [8r-1, 8r+6].
             s_r = s_cur[
                 pl.ds(pl.multiple_of(rl0 + 8 * r, 8), 8), pl.ds(cx0, VW)
             ]
-            lr = li - 8 * r
-            t = jnp.take_along_axis(s_r, jnp.clip(lr, 0, 7), axis=0)
-            g0 = jnp.where((lr >= 0) & (lr < 8), t, g0)
-            lr1 = lr + 1
-            t1 = jnp.take_along_axis(s_r, jnp.clip(lr1, 0, 7), axis=0)
-            g1 = jnp.where((lr1 >= 0) & (lr1 < 8), t1, g1)
+            t = jnp.take_along_axis(s_r, li_a0, axis=0)
+            g0 = jnp.where(li_r0 == r, t, g0)
+            t1 = jnp.take_along_axis(s_r, li_a1, axis=0)
+            g1 = jnp.where(li_r1 == r, t1, g1)
 
         # Vertical mix in integer SWAR: two channels ride each i32 in
         # 16-bit fields (lo = B | R<<16, hi = G | A<<16), so one multiply
@@ -617,23 +629,28 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         # 16-bit field stays <= 255*128 + 64 and the final (x + 64) >> 7
         # needs no clip. Gathers run per 128-column output group (Mosaic's
         # dynamic_gather permutes within one vreg, and take_along_axis
-        # needs index shape == source shape).
+        # needs index shape == source shape). As in pass V, the source-vreg
+        # test is one compare against the loop-invariant lane-group index
+        # (x >> 7) and the gather index the loop-invariant (x & 127) —
+        # replaces the two-compare range test + per-(h, tap) offset/clip
+        # with identical sums (unselected lanes multiply by weight 0).
         iwh1 = jnp.round(fxh * 128.0).astype(jnp.int32)
         acc_parts = []
         for g in range(TW // 128):
             gsl = slice(128 * g, 128 * (g + 1))
             x0i_g = x0i[:, gsl]
             iw1_g = iwh1[:, gsl]
+            taps = (
+                (x0i_g >> 7, x0i_g & 127, 128 - iw1_g),
+                ((x0i_g + 1) >> 7, (x0i_g + 1) & 127, iw1_g),
+            )
             acc_lo = jnp.zeros((8, 128), jnp.int32)
             acc_hi = jnp.zeros((8, 128), jnp.int32)
             for h in range(RH):
                 src_h = packedv[:, 128 * h : 128 * (h + 1)]
-                for tap in range(2):
-                    xi = x0i_g + tap - 128 * h
-                    sel = (xi >= 0) & (xi < 128)
-                    wgt = jnp.where(sel, iw1_g if tap else 128 - iw1_g, 0)
-                    xc = jnp.clip(xi, 0, 127)
-                    q = jnp.take_along_axis(src_h, xc, axis=1)
+                for xg, xa, w in taps:
+                    wgt = jnp.where(xg == h, w, 0)
+                    q = jnp.take_along_axis(src_h, xa, axis=1)
                     acc_lo = acc_lo + (q & M2) * wgt
                     acc_hi = acc_hi + ((q >> 8) & M2) * wgt
             acc_parts.append((acc_lo, acc_hi))
