@@ -22,6 +22,7 @@ Exit codes and stdout/stderr lines match the reference mains
 from __future__ import annotations
 
 import contextlib
+import os
 import sys
 from typing import List, Optional, Sequence
 
@@ -419,6 +420,61 @@ def run(
     return 0
 
 
+def make_staging_decoder(push_dev, cache_cap: int):
+    """Build serve's decode(+stage) worker function.
+
+    Decodes each path with io.imread_bgr; when `push_dev` is a device, the
+    decoded image is immediately staged device-side (timer.push_image) so
+    the upload overlaps the previous job (serve's push-ahead). Successful
+    results are kept in an LRU of `cache_cap` entries keyed by
+    (realpath, mtime_ns, size) — repeated inputs skip decode AND upload;
+    a rewritten file restages. Returns `decode(paths) -> {path: array|None}`
+    (None = unreadable, read_images_from_args' skip contract)."""
+    from collections import OrderedDict
+
+    from pano_tpu.io import imread_bgr
+
+    stage_cache: "OrderedDict[str, tuple]" = OrderedDict()
+
+    def _decode(paths):
+        out = {}
+        for p in paths:
+            key = os.path.realpath(p)
+            try:
+                st = os.stat(key)
+                sig = (st.st_mtime_ns, st.st_size)
+            except OSError:
+                sig = None
+            if sig is not None and key in stage_cache:
+                csig, arr = stage_cache[key]
+                if csig == sig:
+                    stage_cache.move_to_end(key)
+                    out[p] = arr
+                    continue
+                del stage_cache[key]  # file changed: restage
+            img = imread_bgr(p)
+            if img is not None and push_dev is not None:
+                try:
+                    from pano_tpu.timer import push_image
+
+                    img = push_image(
+                        np.ascontiguousarray(img, np.uint8), push_dev
+                    )
+                except Exception:
+                    pass  # staging failure: hand back the host array
+            if img is not None and sig is not None and cache_cap > 0:
+                # Device arrays when staged, decoded host arrays otherwise
+                # (CPU serves still skip the re-decode). Never mutated
+                # downstream — the pipeline is functional end-to-end.
+                stage_cache[key] = (sig, img)
+                while len(stage_cache) > cache_cap:
+                    stage_cache.popitem(last=False)
+            out[p] = img
+        return out
+
+    return _decode
+
+
 def serve(
     impl: str,
     argv: Sequence[str],
@@ -454,6 +510,25 @@ def serve(
     on this 1-core host), so steady-state jobs pay max(decode, rest)
     instead of decode + rest. Interactive stdin (no line queued yet) simply
     decodes inline as before.
+
+    Push-ahead (device impls): the worker also STAGES the decoded images
+    onto the device (timer.push_image) so the next job's H2D upload —
+    ~1.9 s of the ~2.8 s steady-state job on the tunnel rig, the largest
+    serial chunk left after decode-ahead — overlaps the current job's
+    compute + D2H fetch. The pipeline's to_dev helpers pass an
+    already-device-resident array through unchanged, so the job itself is
+    byte-identical; on any staging failure the worker falls back to the
+    host array and the job uploads inline as before. (Measured on the
+    tunnel rig the overlap is a wash — the tunnel serializes H2D against
+    the in-flight D2H, BASELINE.md round-4 notes — but on a PCIe/ICI-
+    attached host the push is GB/s and this removes the upload from the
+    critical path entirely.)
+
+    Staging cache: staged device arrays are kept in a small LRU keyed by
+    (realpath, mtime, size) — jobs that reuse an input image (parameter
+    sweeps over one scene, sliding multi-image windows) skip its decode
+    AND upload. Capacity PANO_TPU_SERVE_CACHE images (default 8 ≈ 300 MB
+    HBM at 13 MP; 0 disables); a re-encoded file (new mtime/size) restages.
     """
     import os
     import queue
@@ -484,6 +559,21 @@ def serve(
 
     threading.Thread(target=_pump, daemon=True).start()
     decode_pool = ThreadPoolExecutor(max_workers=1)
+
+    # Push-ahead target: device impls stage decoded images device-side in
+    # the worker (see docstring). Resolved lazily so a CPU-only serve never
+    # initializes an accelerator backend just to stage.
+    push_dev = None
+    if IMPL_ALIASES.get(impl, impl) == "tpu" and not os.environ.get(
+        "PANO_TPU_FORCE_CPU"
+    ):
+        try:
+            import jax as _jax
+
+            if _jax.default_backend() != "cpu":
+                push_dev = _jax.devices()[0]
+        except Exception:
+            push_dev = None
 
     # The flags `run` strips before its reader — the decode-ahead parser
     # must strip the same set or it would misread flag values as paths
@@ -524,8 +614,11 @@ def serve(
             )
         return paths
 
-    def _decode(paths):
-        return {p: imread_bgr(p) for p in paths}
+    try:
+        cache_cap = int(os.environ.get("PANO_TPU_SERVE_CACHE", "8"))
+    except ValueError:
+        cache_cap = 8
+    _decode = make_staging_decoder(push_dev, cache_cap)
 
     n = 0
     eof = False

@@ -236,6 +236,81 @@ def test_read_images_preloaded_cache():
     assert res.output_file == "o.jpg"
 
 
+def test_staging_decoder_cache_hit_invalidate_evict(scene_dir, tmp_path,
+                                                    monkeypatch):
+    """serve's staging decoder: repeated paths are served from the LRU
+    (decode runs once per distinct file), a rewritten file (new mtime/size)
+    restages instead of serving stale pixels, and the LRU evicts at
+    capacity. Unreadable paths map to None and are never cached."""
+    import shutil
+    import time
+
+    import pano_tpu.io as pio
+
+    a1 = os.path.join(scene_dir, "a1.png")
+    b2 = str(tmp_path / "b2.png")
+    shutil.copy(os.path.join(scene_dir, "a2.png"), b2)
+
+    real_imread = pio.imread_bgr
+    decoded = []
+
+    def counting_imread(path):
+        decoded.append(path)
+        return real_imread(path)
+
+    monkeypatch.setattr(pio, "imread_bgr", counting_imread)
+    dec = cli.make_staging_decoder(push_dev=None, cache_cap=2)
+
+    first = dec([a1, b2])
+    assert decoded == [a1, b2]
+    again = dec([a1, b2])                      # both cache hits
+    assert decoded == [a1, b2]
+    assert again[a1] is first[a1] and again[b2] is first[b2]
+
+    # Rewrite b2 -> new mtime/size must restage, not serve stale pixels.
+    time.sleep(0.01)
+    img = cv2.imread(b2)
+    cv2.imwrite(b2, np.ascontiguousarray(img[:, ::-1]))
+    fresh = dec([b2])
+    assert decoded == [a1, b2, b2]
+    assert not np.array_equal(np.asarray(fresh[b2]), np.asarray(first[b2]))
+
+    # Capacity 2: touching a third file evicts the least-recently-used (a1).
+    c3 = str(tmp_path / "c3.png")
+    shutil.copy(a1, c3)
+    dec([c3])
+    dec([a1])                                   # miss again after eviction
+    assert decoded == [a1, b2, b2, c3, a1]
+
+    # Unreadable: None, uncached (retried every call).
+    missing = str(tmp_path / "nope.png")
+    assert dec([missing])[missing] is None
+    assert dec([missing])[missing] is None
+    assert decoded.count(missing) == 2
+
+
+def test_run_accepts_device_resident_preloaded_images(scene_dir, tmp_path):
+    """Push-ahead contract: serve's worker may stage preloaded images on the
+    DEVICE (jax arrays), and run() must produce the same panorama as with
+    host arrays — the pipeline's to_dev helpers pass device-resident inputs
+    through unchanged."""
+    import jax.numpy as jnp
+
+    a1 = os.path.join(scene_dir, "a1.png")
+    a2 = os.path.join(scene_dir, "a2.png")
+    host = {p: cv2.imread(p) for p in (a1, a2)}
+    dev = {p: jnp.asarray(v, jnp.uint8) for p, v in host.items()}
+
+    out_h = str(tmp_path / "host.jpg")
+    out_d = str(tmp_path / "dev.jpg")
+    base = ["--kpts", "256", "--iters", "128"]
+    assert cli.run("tpu", [a1, a2, "--out", out_h] + base,
+                   _preloaded=host) == 0
+    assert cli.run("tpu", [a1, a2, "--out", out_d] + base,
+                   _preloaded=dev) == 0
+    np.testing.assert_array_equal(cv2.imread(out_h), cv2.imread(out_d))
+
+
 def test_pano_sh_run_propagates_failure_exit_code(tmp_path):
     """The shell driver must exit nonzero when the CLI fails (the reference's
     pano.sh swallows the code — /root/reference/pano.sh:207-213; ours
