@@ -186,6 +186,7 @@ def run(
     #                                  HarrisCornerOptions fields
     #   --kpts N                       static keypoint capacity (top-K)
     #   --ratio F (0=off) --cross-check on|off --topk exact|approx
+    #   --topk-recall F                approx selection recall target
     #                                  matching robustness (TPU additions)
     #   --iters N --dist F --seed N --refine on|off --min-inliers N
     #                                  RansacOptions fields
@@ -243,6 +244,7 @@ def run(
         ("--kpts", "max_keypoints", int),
         ("--ratio", "ratio_thresh", float),
         ("--topk", "topk_method", str),
+        ("--topk-recall", "topk_recall", float),
         ("--match-block", "match_block", int),
     ):
         v = take_flag(flag, ("exact", "approx") if field == "topk_method"
@@ -581,7 +583,8 @@ def serve(
     value_flags = {
         "--timing", "--mode", "--anchor", "--blend", "--json", "--gain",
         "--k", "--nms-thresh", "--nms-size", "--patch", "--ssd-thresh",
-        "--kpts", "--ratio", "--topk", "--match-block", "--cross-check",
+        "--kpts", "--ratio", "--topk", "--topk-recall", "--match-block",
+        "--cross-check",
         "--iters", "--dist", "--seed", "--min-inliers", "--refine",
         "--out",
     }

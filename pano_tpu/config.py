@@ -44,9 +44,16 @@ class HarrisOptions:
     ratio_thresh: float = 0.85     # Lowe ratio: best < r^2 * second-best
     #                                (0 disables)
     cross_check: bool = True       # mutual-nearest-neighbor check
-    topk_method: str = "approx"    # 'approx' (lax.approx_max_k, recall 0.95,
-    #                                ~3x faster selection; drops only the
-    #                                weakest few % of corners) | 'exact'
+    topk_method: str = "approx"    # 'approx' (lax.approx_max_k, recall
+    #                                topk_recall, ~3x faster selection; drops
+    #                                only the weakest few % of corners) |
+    #                                'exact'
+    topk_recall: float = 0.95      # approx_max_k recall target: lower values
+    #                                shrink the collapsed candidate buffer the
+    #                                TPU sorts (the dominant top-K cost at
+    #                                13 MP), trading the weakest few % of
+    #                                corners — golden quality gates bound the
+    #                                effect (tests/test_golden.py)
     match_block: int = 0           # SSD matcher memory plan: 0 = auto (dense
     #                                single matmul up to 512 MB, then stream
     #                                train tiles); N > 0 forces the blockwise
@@ -76,6 +83,8 @@ class HarrisOptions:
             raise ValueError("nms_neighborhood must be >= 3")
         if self.patch_size % 2 != 1:
             raise ValueError("patch_size must be odd")
+        if not (0.0 < self.topk_recall <= 1.0):
+            raise ValueError("topk_recall must be in (0, 1]")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -246,7 +246,7 @@ def harris_detect(
         # the statistical acceptance gate cannot see). ~3x faster than the
         # exact sort-based top_k on v5e.
         top_scores, top_bidx = lax.approx_max_k(
-            bmax.reshape(-1), k_cap, recall_target=0.95
+            bmax.reshape(-1), k_cap, recall_target=opts.topk_recall
         )
     else:
         top_scores, top_bidx = lax.top_k(bmax.reshape(-1), k_cap)

@@ -53,6 +53,8 @@ def test_bad_enum_value_rejected():
         cli.run("serial", ["--blend", "gradient", "x.jpg", "y.jpg"])
     with pytest.raises(SystemExit):
         cli.run("serial", ["--topk", "sorta", "x.jpg", "y.jpg"])
+    with pytest.raises(ValueError):  # config validation, not argparse
+        cli.run("serial", ["--topk-recall", "1.5", "x.jpg", "y.jpg"])
 
 
 def test_repeated_flag_last_wins(scene_dir, tmp_path):
@@ -84,7 +86,7 @@ def test_end_to_end_serial_with_full_flag_surface(scene_dir, tmp_path):
             "--k", "0.05", "--nms-thresh", "5e5", "--nms-size", "3",
             "--patch", "5", "--ssd-thresh", "1e9", "--kpts", "256",
             "--ratio", "0.9", "--cross-check", "on", "--topk", "exact",
-            "--match-block", "64",
+            "--topk-recall", "0.9", "--match-block", "64",
             "--iters", "128", "--dist", "2.0", "--seed", "3",
             "--refine", "on", "--min-inliers", "8",
             "--json", stats,
@@ -97,6 +99,7 @@ def test_end_to_end_serial_with_full_flag_surface(scene_dir, tmp_path):
     h, r = s["config"]["harris"], s["config"]["ransac"]
     assert h["k"] == 0.05 and h["max_keypoints"] == 256
     assert h["ratio_thresh"] == 0.9 and h["topk_method"] == "exact"
+    assert h["topk_recall"] == 0.9
     assert h["match_block"] == 64 and h["cross_check"] is True
     assert r["num_iterations"] == 128 and r["seed"] == 3
     assert r["distance_threshold"] == 2.0 and r["min_inliers"] == 8
