@@ -13,10 +13,11 @@ path: ~3.3 ms of the 4K pair stitch for what is ~260 MB of HBM traffic
 This kernel replaces all of it with ONE grid pass over the padded canvas.
 The enabler is the tile-aligned frame layout established by
 pipeline._fused_compose_impl: the left placement (ty, tx) and the warp
-window origin (wy0, wx0) are all multiples of the 128-px canvas tile, so
-every input block maps onto an output block through a pure block-index
-shift (scalar-prefetch index_maps) — no halos, no manual DMA, and Pallas's
-automatic pipelining double-buffers everything. Per (128, 128) canvas tile:
+window origin (wy0, wx0) are multiples of the kernel's (BTY, BTX) =
+(128, 256) block tiling, so every input block maps onto an output block
+through a pure block-index shift (scalar-prefetch index_maps) — no halos,
+no manual DMA, and Pallas's automatic pipelining double-buffers
+everything. Per (BTY, BTX) canvas tile:
 
   * base = the left image's pixels if the tile overlaps the translated
     left rectangle (pixel mask for the ragged edge), else zeros;
@@ -49,10 +50,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BT = 128  # canvas tile (must match the alignment in pipeline._fused_compose_impl)
+# Rectangular kernel tiles: the y-axis block stays at the 128-px placement
+# alignment (window heights / ty / wy0 are 128-multiples), while the x-axis
+# block is wider — canvas widths, window widths, tx and wx0 are all already
+# 256-multiples on the kernel paths (pipeline pads widths to
+# lcm(canvas_bucket, pallas_warp.TW) and rounds x placements to BTX), and a
+# (128, 256) block halves the grid-step/DMA-issue count of the mostly-copy
+# pass. Measured on the 4864x8448 mountain canvas (v5e, same-session A/B,
+# bit-identical outputs): 3.47 -> 2.9 ms standalone wall.
+BTY = BT
+BTX = 256
 
 
 def _blend_tile(base, w_l, rgb, w_r, blend):
-    """Blend one (3, BT, BT) u8 base tile with a packed warped tile —
+    """Blend one (3, BTY, BTX) u8 base tile with a packed warped tile —
     the in-kernel twin of ops/warp.blend_window_outputs' per-pixel math,
     shared by the pair and chain kernels so the semantics cannot drift.
 
@@ -87,8 +98,8 @@ def _blend_tile(base, w_l, rgb, w_r, blend):
 
 def _compose_kernel(
     sref,          # (4,) i32: [ty_blk, tx_blk, wy_blk, wx_blk]
-    left_ref,      # (3, BT, BT) u8 block of the left image (clamped index)
-    rgb_ref,       # (BT, BT) s32 block of the packed warped window
+    left_ref,      # (3, BTY, BTX) u8 block of the left image (clamped index)
+    rgb_ref,       # (BTY, BTX) s32 block of the packed warped window
     *w_and_out,    # feather: (w_ref, out_ref); overlay: (out_ref,) — the
     #                weight input is omitted entirely for overlay (it never
     #                reads it; streaming a zeros window would be dead HBM
@@ -96,10 +107,10 @@ def _compose_kernel(
     blend: str,
     hl: int,
     wl: int,
-    nlb_y: int,    # ceil(hl / BT) — left block extents
-    nlb_x: int,
-    nwb_y: int,    # win_h // BT — window block extents
-    nwb_x: int,
+    nlb_y: int,    # ceil(hl / BTY) — left block extents
+    nlb_x: int,    # ceil(wl / BTX)
+    nwb_y: int,    # win_h // BTY — window block extents
+    nwb_x: int,    # win_w // BTX
 ):
     if blend == "overlay":
         w_ref, (out_ref,) = None, w_and_out
@@ -121,12 +132,12 @@ def _compose_kernel(
 
     # Left-space pixel coords of this tile (valid only when in_left).
     ly = (
-        lax.broadcasted_iota(jnp.int32, (BT, BT), 0)
-        + (gi - ty_b) * BT
+        lax.broadcasted_iota(jnp.int32, (BTY, BTX), 0)
+        + (gi - ty_b) * BTY
     )
     lx = (
-        lax.broadcasted_iota(jnp.int32, (BT, BT), 1)
-        + (gj - tx_b) * BT
+        lax.broadcasted_iota(jnp.int32, (BTY, BTX), 1)
+        + (gj - tx_b) * BTX
     )
     left_px = in_left & (ly < hl) & (lx < wl)  # ragged right/bottom edge
 
@@ -161,12 +172,12 @@ def _compose_kernel(
 
 def _compose_chain_kernel(
     sref,          # (2,) i32: [wy_blk, wx_blk]
-    canvas_ref,    # (3, BT, BT) u8 block of the accumulated canvas
-    wcan_ref,      # (BT, BT) f32 block of the accumulated weight canvas
-    rgb_ref,       # (BT, BT) s32 block of the packed warped window
-    w_ref,         # (BT, BT) f32 block of the warped weight
-    out_ref,       # (3, BT, BT) u8
-    wout_ref,      # (BT, BT) f32
+    canvas_ref,    # (3, BTY, BTX) u8 block of the accumulated canvas
+    wcan_ref,      # (BTY, BTX) f32 block of the accumulated weight canvas
+    rgb_ref,       # (BTY, BTX) s32 block of the packed warped window
+    w_ref,         # (BTY, BTX) f32 block of the warped weight
+    out_ref,       # (3, BTY, BTX) u8
+    wout_ref,      # (BTY, BTX) f32
     *,
     blend: str,
     nwb_y: int,
@@ -202,8 +213,8 @@ def compose_chain_canvas(
     weight_canvas: jnp.ndarray,  # (pad_h, pad_w) f32 accumulated coverage
     rgb_win: jnp.ndarray,       # (win_h, win_w) int32 packed warped RGB
     w_win: jnp.ndarray,         # (win_h, win_w) f32 warped weight
-    wy0: jnp.ndarray,           # () int32 window origin — multiple of BT
-    wx0: jnp.ndarray,           # () int32 — multiple of BT
+    wy0: jnp.ndarray,           # () int32 window origin — multiple of BTY
+    wx0: jnp.ndarray,           # () int32 — multiple of BTX
     blend: str = "overlay",
 ) -> tuple:
     """Chain-mode composite step: blend one warped window into the
@@ -213,27 +224,27 @@ def compose_chain_canvas(
 
     Returns (canvas, weight_canvas) updated."""
     pad_h, pad_w = weight_canvas.shape
-    assert pad_h % BT == 0 and pad_w % BT == 0, (pad_h, pad_w)
+    assert pad_h % BTY == 0 and pad_w % BTX == 0, (pad_h, pad_w)
     win_h, win_w = rgb_win.shape
-    assert win_h % BT == 0 and win_w % BT == 0, (win_h, win_w)
+    assert win_h % BTY == 0 and win_w % BTX == 0, (win_h, win_w)
     if blend not in ("overlay", "feather"):
         raise ValueError(f"unsupported pallas chain blend: {blend}")
 
     canvas_chw = jnp.transpose(canvas, (2, 0, 1))
-    scalars = jnp.stack([wy0 // BT, wx0 // BT]).astype(jnp.int32)
-    grid = (pad_h // BT, pad_w // BT)
+    scalars = jnp.stack([wy0 // BTY, wx0 // BTX]).astype(jnp.int32)
+    grid = (pad_h // BTY, pad_w // BTX)
 
     def win_map(gi, gj, s):
         return (
-            jnp.clip(gi - s[0], 0, win_h // BT - 1),
-            jnp.clip(gj - s[1], 0, win_w // BT - 1),
+            jnp.clip(gi - s[0], 0, win_h // BTY - 1),
+            jnp.clip(gj - s[1], 0, win_w // BTX - 1),
         )
 
     kernel = functools.partial(
         _compose_chain_kernel,
         blend=blend,
-        nwb_y=win_h // BT,
-        nwb_x=win_w // BT,
+        nwb_y=win_h // BTY,
+        nwb_x=win_w // BTX,
     )
     out, wout = pl.pallas_call(
         kernel,
@@ -241,14 +252,14 @@ def compose_chain_canvas(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((3, BT, BT), lambda gi, gj, s: (0, gi, gj)),
-                pl.BlockSpec((BT, BT), lambda gi, gj, s: (gi, gj)),
-                pl.BlockSpec((BT, BT), win_map),
-                pl.BlockSpec((BT, BT), win_map),
+                pl.BlockSpec((3, BTY, BTX), lambda gi, gj, s: (0, gi, gj)),
+                pl.BlockSpec((BTY, BTX), lambda gi, gj, s: (gi, gj)),
+                pl.BlockSpec((BTY, BTX), win_map),
+                pl.BlockSpec((BTY, BTX), win_map),
             ],
             out_specs=[
-                pl.BlockSpec((3, BT, BT), lambda gi, gj, s: (0, gi, gj)),
-                pl.BlockSpec((BT, BT), lambda gi, gj, s: (gi, gj)),
+                pl.BlockSpec((3, BTY, BTX), lambda gi, gj, s: (0, gi, gj)),
+                pl.BlockSpec((BTY, BTX), lambda gi, gj, s: (gi, gj)),
             ],
         ),
         out_shape=[
@@ -266,19 +277,19 @@ def compose_canvas(
     left: jnp.ndarray,          # (hl, wl, 3) uint8
     rgb_win: jnp.ndarray,       # (win_h, win_w) int32 packed warped RGB
     w_win: Optional[jnp.ndarray],  # (win_h, win_w) f32 (feather), or None
-    ty: jnp.ndarray,            # () int32 left placement — multiple of BT
-    tx: jnp.ndarray,            # () int32 — multiple of BT
-    wy0: jnp.ndarray,           # () int32 window origin — multiple of BT
-    wx0: jnp.ndarray,           # () int32 — multiple of BT
-    pad_h: int,                 # static canvas dims — multiples of BT
-    pad_w: int,
+    ty: jnp.ndarray,            # () int32 left placement — multiple of BTY
+    tx: jnp.ndarray,            # () int32 — multiple of BTX
+    wy0: jnp.ndarray,           # () int32 window origin — multiple of BTY
+    wx0: jnp.ndarray,           # () int32 — multiple of BTX
+    pad_h: int,                 # static canvas dims — pad_h % BTY == 0,
+    pad_w: int,                 # pad_w % BTX == 0
     blend: str = "overlay",
 ) -> jnp.ndarray:
     """One-pass composite: returns the (pad_h, pad_w, 3) uint8 canvas."""
-    assert pad_h % BT == 0 and pad_w % BT == 0, (pad_h, pad_w)
+    assert pad_h % BTY == 0 and pad_w % BTX == 0, (pad_h, pad_w)
     hl, wl = left.shape[:2]
     win_h, win_w = rgb_win.shape
-    assert win_h % BT == 0 and win_w % BT == 0, (win_h, win_w)
+    assert win_h % BTY == 0 and win_w % BTX == 0, (win_h, win_w)
     if blend not in ("overlay", "feather"):
         raise ValueError(f"unsupported pallas blend: {blend}")
     if blend == "feather" and w_win is None:
@@ -288,13 +299,13 @@ def compose_canvas(
     # the pallas-friendly (3, hl, wl) is a layout bitcast, not a copy.
     left_chw = jnp.transpose(left, (2, 0, 1))
 
-    nlb_y = -(-hl // BT)
-    nlb_x = -(-wl // BT)
+    nlb_y = -(-hl // BTY)
+    nlb_x = -(-wl // BTX)
     scalars = jnp.stack(
-        [ty // BT, tx // BT, wy0 // BT, wx0 // BT]
+        [ty // BTY, tx // BTX, wy0 // BTY, wx0 // BTX]
     ).astype(jnp.int32)
 
-    grid = (pad_h // BT, pad_w // BT)
+    grid = (pad_h // BTY, pad_w // BTX)
 
     def left_map(gi, gj, s):
         return (
@@ -305,8 +316,8 @@ def compose_canvas(
 
     def win_map(gi, gj, s):
         return (
-            jnp.clip(gi - s[2], 0, win_h // BT - 1),
-            jnp.clip(gj - s[3], 0, win_w // BT - 1),
+            jnp.clip(gi - s[2], 0, win_h // BTY - 1),
+            jnp.clip(gj - s[3], 0, win_w // BTX - 1),
         )
 
     kernel = functools.partial(
@@ -316,16 +327,16 @@ def compose_canvas(
         wl=wl,
         nlb_y=nlb_y,
         nlb_x=nlb_x,
-        nwb_y=win_h // BT,
-        nwb_x=win_w // BT,
+        nwb_y=win_h // BTY,
+        nwb_x=win_w // BTX,
     )
     in_specs = [
-        pl.BlockSpec((3, BT, BT), left_map),
-        pl.BlockSpec((BT, BT), win_map),
+        pl.BlockSpec((3, BTY, BTX), left_map),
+        pl.BlockSpec((BTY, BTX), win_map),
     ]
     operands = [scalars, left_chw, rgb_win]
     if blend != "overlay":  # overlay never reads the weight input
-        in_specs.append(pl.BlockSpec((BT, BT), win_map))
+        in_specs.append(pl.BlockSpec((BTY, BTX), win_map))
         operands.append(w_win)
     out = pl.pallas_call(
         kernel,
@@ -334,7 +345,7 @@ def compose_canvas(
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (3, BT, BT), lambda gi, gj, s: (0, gi, gj)
+                (3, BTY, BTX), lambda gi, gj, s: (0, gi, gj)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.uint8),

@@ -103,15 +103,19 @@ def warp_window_geometry(
     bucket: int,
     align: int = 1,
     bucket_w: "int | None" = None,
+    align_x: "int | None" = None,
 ) -> Tuple[int, int, int, int]:
     """Host-side warp-window placement shared by every composite path:
     the bucketed bbox of the warped image corners under `m`, +2 px bilinear
     margin, clipped to the (pad_h, pad_w) canvas.
 
     `align` (a power of two) additionally aligns the window ORIGIN down —
-    the pallas compose kernels' block-index mapping needs 128; the
-    XLA-epilogue paths use 1. pad/bucket must be multiples of `align` so
-    the final clamp preserves the alignment.
+    the pallas compose kernels' block-index mapping needs their block
+    tiling; the XLA-epilogue paths use 1. `align_x` overrides the x-axis
+    alignment (the chain compose kernel's blocks are BTY x BTX =
+    128 x 256, so its callers pass align=128, align_x=256). pad/bucket
+    (and pad_w/bucket_w for the x axis) must be multiples of the
+    alignments so the final clamp preserves them.
 
     `bucket_w` overrides the width bucket (the Pallas warp kernel's output
     tile is pallas_warp.TW = 256 wide x 128 tall, so its callers bucket
@@ -119,12 +123,19 @@ def warp_window_geometry(
     TW multiple — a narrow canvas can clamp it back to pad_w).
 
     Returns (wx0, wy0, win_w, win_h)."""
-    assert pad_h % align == 0 and pad_w % align == 0 and bucket % align == 0, (
-        f"pad/bucket must be multiples of align={align}: "
-        f"{(pad_h, pad_w, bucket)}"
+    if align_x is None:
+        align_x = align
+    assert pad_h % align == 0 and bucket % align == 0, (
+        f"pad/bucket must be multiples of align={align}: {(pad_h, bucket)}"
+    )
+    assert pad_w % align_x == 0 and (
+        bucket if bucket_w is None else bucket_w
+    ) % align_x == 0, (
+        f"pad_w/width bucket must be multiples of align_x={align_x}: "
+        f"{(pad_w, bucket, bucket_w)}"
     )
     corners = warp_corners(m, img_h, img_w)
-    wx0 = max(0, (int(np.floor(corners[:, 0].min())) - 2) & ~(align - 1))
+    wx0 = max(0, (int(np.floor(corners[:, 0].min())) - 2) & ~(align_x - 1))
     wy0 = max(0, (int(np.floor(corners[:, 1].min())) - 2) & ~(align - 1))
     wx1 = min(pad_w, int(np.ceil(corners[:, 0].max())) + 2)
     wy1 = min(pad_h, int(np.ceil(corners[:, 1].max())) + 2)

@@ -314,15 +314,24 @@ class PairStitcher:
     # wide tier); tier 1 fits tilted/perspective warps. stitch_pair_fast
     # tries tier 0, re-dispatches tier 1 if the in-graph coverage check
     # fails, and only then falls back to the exact staged path.
-    # (scale, height margin, width margin, warp rounds): both margins carry
-    # an extra 128 so the tile-aligned window origin (see
+    # (scale, height margin, width margin, warp rounds, canvas h/w
+    # fractions): the height margin carries an extra 128 and the width
+    # margin an extra 256 so the tile-aligned window origin (aligned DOWN
+    # to the compose kernel's (BTY, BTX) = (128, 256) tiling, see
     # _fused_compose_impl) still covers the warped extent. Tier 0 also runs
     # the 3-round warp variant (pallas_warp.RV_FAST, the low-tilt common
     # case — the in-graph envelope check uses the matching tighter budget,
     # so a tilted warp escalates to tier 1's full-budget kernel).
+    # The canvas fractions size the static canvas: tier 0 assumes the
+    # common panorama placement (right extends <= 0.75*wr horizontally and
+    # <= 0.25*hr vertically — the canvas-fit term of the in-graph `safe`
+    # check escalates anything bigger), tier 1 the panorama-shaped worst
+    # case (a full wr either side, hr/2 vertically). On the mountain pair
+    # this cuts the composed canvas 4864x8704 -> 4096x7680 (-29% of the
+    # mostly-copy compose pass).
     _WIN_TIERS = (
-        (1.02, 160, 160, pallas_warp.RV_FAST),
-        (1.1, 428, 428, pallas_warp.RV),
+        (1.02, 160, 288, pallas_warp.RV_FAST, 0.25, 0.75),
+        (1.1, 428, 556, pallas_warp.RV, 0.5, 1.0),
     )
 
     def _pack_src(self):
@@ -417,8 +426,8 @@ class PairStitcher:
         # measured ~10x faster than arbitrary offsets, which force
         # read-modify-write lane/sublane shifts on every destination tile.
         # The true panorama then starts at (crop_y, crop_x) in
-        # [0,128)x[0,128) instead of (0, 0) — ty is rounded to 128 (not 8)
-        # because the compose kernel's BT grid needs it; the host crop
+        # [0,128)x[0,256) instead of (0, 0) — ty/tx are rounded to the
+        # compose kernel's (BTY, BTX) grid, not just 8; the host crop
         # (stitch_pair_fast) absorbs it.
         # Bonus: the integer translation registers the left placement and
         # the warp EXACTLY (the old float translation left a sub-pixel
@@ -428,7 +437,11 @@ class PairStitcher:
         # the crop a full pixel; the worst case is sub-pixel (<= eps)
         # clipping at the very edge, same order as the float translation
         # this replaces.
-        tx = ((jnp.ceil(-min_x - 1e-3).astype(jnp.int32) + 127) // 128) * 128
+        # x placements round to the compose kernel's BTX (256) tile, y to
+        # its BTY (128): the rectangular (128, 256) block halves the
+        # mostly-copy pass's grid-step/DMA count (see pallas_compose.BTX).
+        btx = pallas_compose.BTX
+        tx = -(-(jnp.ceil(-min_x - 1e-3).astype(jnp.int32)) // btx) * btx
         ty = ((jnp.ceil(-min_y - 1e-3).astype(jnp.int32) + 127) // 128) * 128
         txf = tx.astype(jnp.float32)
         tyf = ty.astype(jnp.float32)
@@ -440,15 +453,19 @@ class PairStitcher:
         m = t_mat @ h
         m_inv = ransac_ops.inv3x3(m)
 
-        # Static canvas sized for panorama-shaped placements: the right image
-        # may extend the canvas a full width horizontally (either side) but
-        # only half a height vertically. This is 3x less canvas traffic than
-        # the anywhere-around-left worst case (measured 13.4 -> ~6 ms on the
-        # 4K composite); placements that exceed it (vertical panoramas,
-        # extreme tilt) trip the canvas-fit term of `safe` below and take
-        # the exact staged path instead. The +130 slack covers the
-        # aligned translation's shift (up to 127 px).
-        pad_h = _round_up(hl + hr // 2 + 130, cfg.canvas_bucket)
+        # Static canvas sized from the tier's placement assumption (see
+        # _WIN_TIERS — tier 0 the common panorama overlap, tier 1 the
+        # panorama-shaped worst case, itself 3x less canvas traffic than
+        # anywhere-around-left, measured 13.4 -> ~6 ms on the 4K
+        # composite); placements that exceed the tier trip the canvas-fit
+        # term of `safe` below, escalating tier 0 -> tier 1 -> the exact
+        # staged path. The height slack covers the aligned translation's
+        # shift (up to 127 px); the width slack the 256-aligned tx (up to
+        # BTX - 1 px).
+        scale, margin_h, margin_w, rv, ch_frac, cw_frac = (
+            self._WIN_TIERS[_tier]
+        )
+        pad_h = _round_up(hl + int(hr * ch_frac) + 130, cfg.canvas_bucket)
         # Canvas width additionally rounds to lcm(bucket, TW) — the warp
         # kernel's output tile is 256 wide, so the window clamp below must
         # not pull win_w off a TW multiple (this path is gated on
@@ -456,25 +473,24 @@ class PairStitcher:
         bw = cfg.canvas_bucket
         if bw % pallas_warp.TW != 0:   # bucket is a 128-multiple here
             bw *= 2
-        pad_w = _round_up(wl + wr + 130, bw)
+        pad_w = _round_up(wl + int(wr * cw_frac) + btx + 4, bw)
         # Static warp window from the tier (see _WIN_TIERS); the in-graph
-        # coverage check below rejects anything bigger, escalating tier 0 ->
-        # tier 1 -> exact-bbox staged path.
-        scale, margin_h, margin_w, rv = self._WIN_TIERS[_tier]
+        # coverage check below rejects anything bigger, escalating as above.
         win_h = min(_round_up(int(hr * scale) + margin_h, 128), pad_h)
         win_w = min(
             _round_up(int(wr * scale) + margin_w, pallas_warp.TW), pad_w
         )
 
         # Window origin in canvas coords (traced), aligned DOWN to the
-        # canvas tiling (the tier margins absorb the up-to-7/127 px of
-        # coverage this shifts off the bottom/right edge) and clamped into
-        # the canvas (pad/win are 128-multiples, so the clamp preserves
-        # alignment).
+        # compose kernel's (BTY, BTX) = (128, 256) tiling (the tier margins
+        # absorb the up-to-127/255 px of coverage this shifts off the
+        # bottom/right edge) and clamped into the canvas (pad_h/win_h are
+        # 128-multiples and pad_w/win_w 256-multiples, so the clamp
+        # preserves alignment).
         cx = wxy[:, 0] + txf
         cy = wxy[:, 1] + tyf
         wx0 = jnp.clip(
-            (jnp.floor(cx.min()).astype(jnp.int32) - 2) & ~127,
+            (jnp.floor(cx.min()).astype(jnp.int32) - 2) & ~(btx - 1),
             0, pad_w - win_w,
         )
         wy0 = jnp.clip(
@@ -1345,14 +1361,23 @@ def composite_global(
         m = t_mat @ globals_h[i]
         m_inv = np.linalg.inv(m)
         hr, wr = images[i].shape[:2]
-        # Window origin aligned DOWN to the 128-px canvas tile (the chain
-        # compose kernel's block-index mapping needs it). Alignment is only
-        # legal when pad/bucket are 128-multiples (warp_window_geometry's
+        # Window origin aligned DOWN to the chain compose kernel's
+        # (BTY, BTX) = (128, 256) block tiling. Alignment is only legal
+        # when pad/bucket are multiples (warp_window_geometry's
         # precondition); other buckets take the XLA path, which needs none.
         align = 128 if cfg.canvas_bucket % 128 == 0 else 1
         on_tpu_warp = _pallas_warp_eligible(cfg)
+        # On the kernel path pad_w/win_w are lcm(bucket, TW)=256 multiples
+        # (bucket_w below + _warp_bucket_w above), so the wider x alignment
+        # is legal; the XLA path keeps align_x == align.
+        align_x = (
+            pallas_compose.BTX
+            if align == 128 and on_tpu_warp and pad_w % pallas_compose.BTX == 0
+            else align
+        )
         wx0, wy0, win_w, win_h = warp_ops.warp_window_geometry(
             m, hr, wr, pad_h, pad_w, cfg.canvas_bucket, align=align,
+            align_x=align_x,
             bucket_w=pallas_warp.TW if on_tpu_warp else None,
         )
 
@@ -1393,10 +1418,13 @@ def composite_global(
             if (
                 cfg.blend in ("overlay", "feather")
                 and not cfg.gain_compensation
+                and wy0 % pallas_compose.BTY == 0
+                and wx0 % pallas_compose.BTX == 0
+                and win_w % pallas_compose.BTX == 0
             ):
                 # One-pass pallas chain composite: canvas + weight canvas
                 # updated together, no window slice/update-slice round
-                # trips (wy0/wx0 are 128-aligned above for this).
+                # trips (wy0/wx0 are (BTY, BTX)-aligned above for this).
                 canvas, weight_canvas = pallas_compose.compose_chain_canvas(
                     canvas,
                     weight_canvas,

@@ -40,11 +40,12 @@ def _mk_case(seed, hl, wl, win_h, win_w, ty, tx, wy0, wx0):
 CASES = [
     # (hl, wl, win, ty, tx, wy0, wx0, pad) — ragged left sizes, window at
     # origin / interior / flush against the canvas edge, left offset both
-    # zero and nonzero.
+    # zero and nonzero. Contract: y placements are BTY (128) multiples,
+    # x placements and win_w/pad_w BTX (256) multiples.
     (100, 200, (128, 256), 0, 0, 0, 0, (256, 512)),
-    (130, 140, (128, 128), 128, 128, 0, 128, (384, 384)),
-    (128, 128, (256, 256), 0, 128, 128, 128, (384, 384)),
-    (250, 120, (128, 256), 128, 0, 256, 128, (384, 384)),
+    (130, 140, (128, 256), 128, 256, 0, 256, (384, 512)),
+    (128, 128, (256, 256), 0, 256, 128, 256, (384, 512)),
+    (250, 120, (128, 256), 128, 0, 256, 0, (384, 512)),
 ]
 
 
@@ -86,7 +87,7 @@ def test_compose_matches_xla_epilogue(blend, case):
 
 
 def test_compose_rejects_multiband():
-    left, rgb, w, tyj, txj, wyj, wxj = _mk_case(0, 128, 128, 128, 128, 0, 0, 0, 0)
+    left, rgb, w, tyj, txj, wyj, wxj = _mk_case(0, 128, 128, 128, 256, 0, 0, 0, 0)
     with pytest.raises(ValueError):
         compose_canvas(left, rgb, w, tyj, txj, wyj, wxj, 256, 256, "multiband")
 

@@ -193,8 +193,8 @@ def test_compose_canvas_vs_xla_epilogue_on_tpu():
 
     r = np.random.default_rng(11)
     hl, wl = 200, 300
-    win_h, win_w = 256, 384
-    pad_h, pad_w = 512, 640
+    win_h, win_w = 256, 512   # win_w/pad_w/x placements: BTX (256) multiples
+    pad_h, pad_w = 512, 768
     ty, tx, wy0, wx0 = 128, 0, 128, 256
     left = jnp.asarray(r.integers(0, 255, (hl, wl, 3)), jnp.uint8)
     rgb = r.integers(0, 2**24, (win_h, win_w)).astype(np.int32)
