@@ -226,3 +226,29 @@ def test_streaming_auto_dispatch_large_k():
     m = match.match_descriptors(dq, vq, dt, vt, 1e18)
     assert m.train_idx.shape == (k,)
     assert bool(np.asarray(m.valid).all())
+
+
+def test_block_size_demotion_warns_when_kernel_eligible(monkeypatch):
+    """An explicit block_size on TPU demotes an otherwise Pallas-eligible
+    match to the ~10x-slower XLA streaming path — that demotion must warn
+    (the foot-gun is a user 'tuning' tiles into a slower path)."""
+    import warnings
+
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    k, d = 512, 128
+    kt = 2048  # > _STREAM_TILE so the kernel would have been eligible
+    r = np.random.default_rng(3)
+    dq = jnp.asarray(r.integers(0, 256, (k, d)).astype(np.float32))
+    dt = jnp.asarray(r.integers(0, 256, (kt, d)).astype(np.float32))
+    vq = jnp.ones((k,), bool)
+    vt = jnp.ones((kt,), bool)
+    with pytest.warns(UserWarning, match="Pallas MXU kernel was eligible"):
+        m = match.match_descriptors(dq, vq, dt, vt, 1e18, block_size=1024)
+    assert m.train_idx.shape == (k,)
+    # block_size=0 (auto) must stay silent on the XLA paths.
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        match.match_descriptors(dq, vq, dt, vt, 1e18, block_size=1024)
