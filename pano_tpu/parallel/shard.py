@@ -57,6 +57,34 @@ def make_mesh(
     )
 
 
+def _data_platform(mesh: Optional[Mesh], arr=None) -> str:
+    """Platform the sharded computation will actually RUN on: the mesh's
+    devices when a mesh is given, else the array's placement, else the
+    default backend. The distinction matters under the axon TPU plugin,
+    where `jax.default_backend()` stays 'tpu' even when the caller built a
+    virtual-CPU mesh (the driver's multi-chip dry run,
+    __graft_entry__.dryrun_multichip) — a Mosaic kernel launched on CPU
+    arrays cannot lower, so every warp-kernel gate below keys on THIS."""
+    if mesh is not None:
+        return next(iter(mesh.devices.flat)).platform
+    if arr is not None:
+        try:
+            return next(iter(arr.devices())).platform
+        except Exception:
+            pass  # numpy input or traced value: fall through
+    return jax.default_backend()
+
+
+def _warp_kernel_gate(cfg, mesh: Optional[Mesh], arr=None) -> bool:
+    """pipeline._pallas_warp_eligible, keyed on where the data lives (see
+    _data_platform) instead of the default backend."""
+    return (
+        cfg.use_pallas_warp
+        and _data_platform(mesh, arr) == "tpu"
+        and cfg.canvas_bucket % 128 == 0
+    )
+
+
 # --------------------------------------------------------------------------
 # Pure per-pair homography core (shared by all sharded entry points)
 # --------------------------------------------------------------------------
@@ -268,7 +296,7 @@ def composite_pairs_batched(
         (
             use_pallas
             if use_pallas is not None
-            else pipeline._pallas_warp_eligible(cfg)
+            else _warp_kernel_gate(cfg, mesh, lefts)
         )
         and cfg.blend in ("overlay", "feather", "multiband")
         and cfg.canvas_bucket % 128 == 0
@@ -556,6 +584,10 @@ def warp_windows_batched(
     from pano_tpu.ops import pallas_warp
     from pano_tpu.ops import warp as warp_ops
 
+    if use_pallas is None:
+        # Key on the mesh/array platform, NOT the default backend — see
+        # _data_platform.
+        use_pallas = _data_platform(mesh, imgs) == "tpu"
     plan = (
         pallas_warp_plan(
             np.asarray(m_invs, np.float64), np.asarray(origins, np.float64),
@@ -682,7 +714,7 @@ def composite_global_sharded(
     kernel_maybe = (
         use_pallas
         if use_pallas is not None
-        else pipeline._pallas_warp_eligible(cfg)
+        else _warp_kernel_gate(cfg, mesh, devs[anchor])
     )
     t_mat, canvas_h, canvas_w, pad_h, pad_w = (
         pipeline.global_canvas_geometry(
