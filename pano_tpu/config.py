@@ -48,12 +48,20 @@ class HarrisOptions:
     #                                topk_recall, ~3x faster selection; drops
     #                                only the weakest few % of corners) |
     #                                'exact'
-    topk_recall: float = 0.95      # approx_max_k recall target: lower values
+    topk_recall: float = 0.92      # approx_max_k recall target: lower values
     #                                shrink the collapsed candidate buffer the
     #                                TPU sorts (the dominant top-K cost at
     #                                13 MP), trading the weakest few % of
     #                                corners — golden quality gates bound the
-    #                                effect (tests/test_golden.py)
+    #                                effect (tests/test_golden.py). XLA's
+    #                                buffer is a step function of the target:
+    #                                230400 at 0.95 / 115712 at 0.88-0.92 /
+    #                                58368 at 0.85 for the 13 MP plane, k=8K.
+    #                                0.92 halves the sort vs 0.95 and grades
+    #                                identically on the bundled scenes
+    #                                (oilseed multiband PSNR 38.7 vs 38.2 on
+    #                                hardware); 0.85 is the throughput corner
+    #                                (PSNR 35.4, 0.4 dB over the gate).
     match_block: int = 0           # SSD matcher memory plan: 0 = auto (dense
     #                                single matmul up to 512 MB, then stream
     #                                train tiles); N > 0 forces the blockwise

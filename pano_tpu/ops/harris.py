@@ -225,14 +225,13 @@ def harris_detect(
     # block maxima is lossless. This quarters the top_k problem — the
     # selection, not the response math, dominates Harris on TPU.
     # reduce_window lowers 4x faster than pad+reshape+max (no relayout).
-    # The Pallas kernel already folded the ROW pairs in its epilogue (its
-    # plane is (Hp/2, Wp) — Mosaic can't lower the lane-pair half, see
-    # pallas_harris), so only the (1, 2) lane reduction remains there.
+    # The Pallas kernel folds BOTH halves of the reduction in its epilogue
+    # (row pairs via a free reshape, lane pairs via per-vreg
+    # dynamic_gather deinterleaves — see pallas_harris), so its plane is
+    # already the (Hp/2, Wp/2) block-max map.
     if use_kernel:
-        h2, w2 = padded.shape[0], padded.shape[1] // 2
-        bmax = lax.reduce_window(
-            padded, -jnp.inf, lax.max, (1, 2), (1, 2), "VALID"
-        )                                               # (h2, w2)
+        h2, w2 = padded.shape
+        bmax = padded
     else:
         h2, w2 = padded.shape[0] // 2, padded.shape[1] // 2
         bmax = lax.reduce_window(

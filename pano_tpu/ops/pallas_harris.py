@@ -19,17 +19,18 @@ Semantics are EXACTLY the reference chain (src/serial/main.cpp:119-185):
   * response det - k*tr^2; NMS strictly-greater over the 3x3 neighborhood
     with the [halfLen, dim-halfLen) border clip (src/serial/main.cpp:159-180).
 
-Output: ROW-FOLDED score map (Hp/2, Wp) f32 — row r holds
-max(scores[2r], scores[2r+1]) — padded to tile multiples, -inf outside
-peaks/image. NMS peaks are pairwise non-adjacent, so each (2, 1) row pair
-holds at most one peak and the in-kernel fold is lossless; it halves the
-score plane's HBM writes and halves harris_detect's remaining XLA
-block-max pass (now (1, 2) on the half-size plane — Mosaic cannot lower
-the lane-pair half of the reduction: strided slices and lane-splitting
-reshapes both fail to compile, see git history). Each peak's two mantissa
-LSBs carry its in-2x2-block offset ((row&1)<<1 | (col&1), a <= 2 ulp
-perturbation) so harris_detect's decode after the block-max reduction
-needs no gathers back into the plane — see the kernel epilogue. Only
+Output: 2x2 BLOCK-FOLDED score map (Hp/2, Wp/2) f32 — slot (r, c) holds
+the max of scores over pixel block {2r, 2r+1} x {2c, 2c+1} — padded to
+tile multiples, -inf outside peaks/image. NMS peaks are pairwise
+non-adjacent, so each 2x2 block holds at most one peak and the in-kernel
+fold is lossless; it quarters the score plane's HBM writes and feeds
+harris_detect's top-K directly (no XLA reduce_window pass remains). The
+row half of the fold is a free vreg-aligned reshape; the lane half — which
+strided slices and lane-splitting reshapes cannot lower on Mosaic, see git
+history — runs as per-vreg dynamic_gather deinterleaves (see the kernel
+epilogue). Each peak's two mantissa LSBs carry its in-2x2-block offset
+((row&1)<<1 | (col&1), a <= 2 ulp perturbation) so harris_detect's decode
+after top-K needs no gathers back into the plane. Only
 nms_neighborhood == 3 is supported (the reference never uses any other
 value); callers must guard.
 """
@@ -329,7 +330,37 @@ def _make_kernel(
         # natural (TH/2, 2, TW) reshape costs ~0.06 ms/4K-grid in relayout
         # (its minor (2, TW) dims occupy quarter-full vregs).
         f2 = sc.reshape(TH // 2, 2 * TW)
-        out_ref[0] = jnp.maximum(f2[:, :TW], f2[:, TW:])
+        rf = jnp.maximum(f2[:, :TW], f2[:, TW:])  # (TH/2, TW)
+
+        # Lane-pair fold — completes the (lossless) 2x2 block-max reduction
+        # IN the kernel, killing the XLA (1, 2) reduce_window pass that
+        # previously finished it (~0.07 ms + a 28 MB plane round-trip per
+        # 13 MP image on v5e). Strided slices and lane-splitting reshapes
+        # don't lower on Mosaic, but per-vreg dynamic_gather does (the warp
+        # kernel's workhorse): output block column c pairs input lanes
+        # (2c, 2c+1), so each output 128-lane group g deinterleaves its two
+        # source groups (2g, 2g+1) with the constant index vector
+        # (2*lane) & 127 — lanes [0, 64) of the pair-max of group 2g,
+        # lanes [64, 128) of group 2g+1's (where (2*lane) mod 128 lands on
+        # exactly the right source lanes). ~7 vector ops per output vreg.
+        lane = lax.broadcasted_iota(jnp.int32, (TH // 2, 128), 1)
+        idx_e = (2 * lane) & 127
+        idx_o = idx_e + 1
+        first_half = lane < 64
+        groups = []
+        for g in range(TW // 256):
+            s0 = rf[:, 256 * g : 256 * g + 128]
+            s1 = rf[:, 256 * g + 128 : 256 * g + 256]
+            p0 = jnp.maximum(
+                jnp.take_along_axis(s0, idx_e, axis=1),
+                jnp.take_along_axis(s0, idx_o, axis=1),
+            )
+            p1 = jnp.maximum(
+                jnp.take_along_axis(s1, idx_e, axis=1),
+                jnp.take_along_axis(s1, idx_o, axis=1),
+            )
+            groups.append(jnp.where(first_half, p0, p1))
+        out_ref[0] = jnp.concatenate(groups, axis=1)  # (TH/2, TW/2)
 
     return kernel
 
@@ -347,10 +378,11 @@ def _scores_batched(
     nti = -(-h // TH)
     ntj = -(-w // TW)
     out_specs = pl.BlockSpec(
-        (1, TH // 2, TW), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM
+        (1, TH // 2, TW // 2), lambda b, i, j: (b, i, j),
+        memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct(
-        (nb, nti * TH // 2, ntj * TW), jnp.float32
+        (nb, nti * TH // 2, ntj * TW // 2), jnp.float32
     )
     if emit_packed:
         out_specs = [
@@ -414,12 +446,14 @@ def harris_scores(
     """Fused NMS'd Harris score map from the raw BGR u8 image (gray
     conversion happens inside the kernel).
 
-    `img_u8` is the (H, W, 3) u8 image (un-padded); returns the ROW-FOLDED
-    (round_up(H, TH) / 2, round_up(W, TW)) score map — row r is the
-    (lossless, see module docstring) max of pixel rows 2r and 2r+1 — with
-    -inf at non-peaks and everywhere outside the image. With pack_mode set ("plain" /
+    `img_u8` is the (H, W, 3) u8 image (un-padded); returns the 2x2
+    BLOCK-FOLDED (round_up(H, TH) / 2, round_up(W, TW) / 2) score map —
+    slot (r, c) is the (lossless, see module docstring) max over pixel
+    block {2r, 2r+1} x {2c, 2c+1} — with -inf at non-peaks and everywhere
+    outside the image. With pack_mode set ("plain" /
     "warp_const" / "warp_ramp", see _make_kernel), returns
-    (scores, packed) where packed is the same-shape i32 b|g<<8|r<<16 plane
+    (scores, packed) where packed is the full-resolution (round_up(H, TH),
+    round_up(W, TW)) i32 b|g<<8|r<<16 plane
     (zeros outside the image) — the descriptor-gather source, emitted here
     because the BGR tile is already in VMEM (kills a separate XLA
     convert+pack pass over the full image). The warp modes additionally

@@ -35,27 +35,29 @@ def kernel_scores(img, opts):
     return np.asarray(s)
 
 
-def rowfold(scores):
-    """The kernel epilogue's lossless row-pair max (see pallas_harris):
+def blockfold(scores):
+    """The kernel epilogue's lossless 2x2 block max (see pallas_harris):
     fold the full-resolution oracle plane the same way for comparison."""
-    if scores.shape[0] % 2:
+    pr, pc = scores.shape[0] % 2, scores.shape[1] % 2
+    if pr or pc:
         scores = np.pad(
-            scores, ((0, 1), (0, 0)), constant_values=-np.inf
+            scores, ((0, pr), (0, pc)), constant_values=-np.inf
         )
-    return np.maximum(scores[0::2], scores[1::2])
+    rf = np.maximum(scores[0::2], scores[1::2])
+    return np.maximum(rf[:, 0::2], rf[:, 1::2])
 
 
 def test_kernel_matches_xla_scores(rng):
     img = rng.integers(0, 256, (150, 600, 3), dtype=np.uint8)  # 2x2 tiles
     opts = HarrisOptions()
-    want = rowfold(xla_scores(img, opts))
+    want = blockfold(xla_scores(img, opts))
     got = kernel_scores(img, opts)
     h, w = img.shape[:2]
-    h2 = (h + 1) // 2
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
     # Outside-image padding is -inf.
     assert np.all(np.isneginf(got[h2:, :]))
-    assert np.all(np.isneginf(got[:, w:]))
-    got = got[:h2, :w]
+    assert np.all(np.isneginf(got[:, w2:]))
+    got = got[:h2, :w2]
     same_peaks = np.isneginf(got) == np.isneginf(want)
     # f32 associativity differences may flip borderline peaks; demand near-
     # perfect agreement and close values on shared peaks.
@@ -79,8 +81,8 @@ def test_kernel_border_semantics(rng):
     zero-border convolution — peaks at x==2 must agree with the XLA chain."""
     img = rng.integers(0, 256, (130, 520, 3), dtype=np.uint8)
     opts = HarrisOptions()
-    want = rowfold(xla_scores(img, opts))
-    got = kernel_scores(img, opts)[:65, :520]
+    want = blockfold(xla_scores(img, opts))
+    got = kernel_scores(img, opts)[:65, :260]
     # Border ring: identical peak classification.
     np.testing.assert_array_equal(
         np.isneginf(got[:, :4]), np.isneginf(want[:, :4])

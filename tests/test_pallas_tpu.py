@@ -131,7 +131,7 @@ def test_harris_scores_kernel_vs_xla_on_tpu():
 
     got = np.asarray(
         PH.harris_scores(jnp.asarray(img), h, w, opts.k, opts.nms_thresh)
-    )[: h // 2, :w]
+    )[: h // 2, : w // 2]
 
     resp = H.harris_response(gray, opts.k)
     nmax = H._neighbor_max(resp, 3)
@@ -143,8 +143,9 @@ def test_harris_scores_kernel_vs_xla_on_tpu():
             (resp > opts.nms_thresh) & (resp > nmax) & border, resp, -jnp.inf
         )
     )
-    # The kernel emits the row-folded plane (see pallas_harris docstring).
+    # The kernel emits the 2x2 block-folded plane (pallas_harris docstring).
     want = np.maximum(want[0::2], want[1::2])
+    want = np.maximum(want[:, 0::2], want[:, 1::2])
     same_peaks = np.isneginf(got) == np.isneginf(want)
     assert same_peaks.mean() > 0.9995, same_peaks.mean()
     both = ~np.isneginf(got) & ~np.isneginf(want)
