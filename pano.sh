@@ -165,7 +165,9 @@ EOF
         shift
         process_common_args "$@"
         run_env
-        TRACE_DIR="${SCRIPT_DIR}/${IMPL}_perf_trace"
+        # PANO_TPU_TRACE_DIR overrides the trace location (tests point it
+        # at a tmp dir; default matches the reference's in-repo layout).
+        TRACE_DIR="${PANO_TPU_TRACE_DIR:-${SCRIPT_DIR}/${IMPL}_perf_trace}"
         echo "Running performance profiling on $IMPL implementation..."
         env "${ENV_VARS[@]}" PANO_TPU_PROFILE="$TRACE_DIR" \
             "$PYTHON" -m pano_tpu.cli "$IMPL" "${COMMON_ARGS[@]}" | tee "${IMPL}_perf_report.txt"

@@ -240,10 +240,14 @@ def harris_detect(
 
     k_cap = min(opts.max_keypoints, h2 * w2)
     if opts.topk_method == "approx":
-        # TPU-native approximate selection (deterministic; recall ~0.95 of
-        # the exact top-K — only the weakest few % of corners differ, which
-        # the statistical acceptance gate cannot see). ~3x faster than the
-        # exact sort-based top_k on v5e.
+        # TPU-native approximate selection (deterministic; recall =
+        # opts.topk_recall of the exact top-K, shipped default 0.92 — only
+        # the weakest few % of corners differ, which the statistical
+        # acceptance gate cannot see; hardware A/Bs in BASELINE.md's
+        # round-4 session-2 notes). ~3x faster than the exact sort-based
+        # top_k on v5e, and the recall target sets XLA's candidate-buffer
+        # size in steps (230400 at 0.95 / 115712 at 0.92 / 58368 at 0.85
+        # for the 13 MP plane).
         top_scores, top_bidx = lax.approx_max_k(
             bmax.reshape(-1), k_cap, recall_target=opts.topk_recall
         )

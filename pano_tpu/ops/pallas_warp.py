@@ -719,6 +719,23 @@ def make_params(
     )
 
 
+def make_params_host(
+    m_inv, off_x: float, off_y: float, real_h: int, real_w: int
+) -> np.ndarray:
+    """Host twin of make_params (identical (13,) f32 layout) for the sharded
+    batch paths: param rows are assembled in numpy and enter the device via
+    ONE explicit device_put, instead of an eager h2d transfer per entry
+    (each is a 30-85 ms RPC on the axon tunnel, and an uncommitted eager
+    placement lands on the DEFAULT backend — the MULTICHIP_r04 bug class).
+    tests/test_sharding.py pins the two layouts equal."""
+    return np.concatenate(
+        [
+            np.asarray(m_inv, np.float32).reshape(-1),
+            np.asarray([off_x, off_y, real_w, real_h], np.float32),
+        ]
+    )
+
+
 def _warp_batched_call(
     srcs: jnp.ndarray,         # (B, Hp, Wp) int32 from pack_bgra
     params: jnp.ndarray,       # (B, 13) f32 from make_params

@@ -96,9 +96,19 @@ def device_busy_ms(xs) -> float:
 
 
 def summarize(xs, top: int = 30, by_line: bool = False) -> None:
-    for plane in xs.planes:
-        if "device:" not in plane.name.lower() and "tpu" not in plane.name.lower():
-            continue
+    planes = [
+        p
+        for p in xs.planes
+        if "device:" in p.name.lower() or "tpu" in p.name.lower()
+    ]
+    if not planes:
+        # CPU-backend traces carry no device plane; fall back to the host
+        # plane so `pano.sh perf` still yields a per-op table (the host
+        # TraceMe lines hold the XLA:CPU executable timings).
+        planes = [p for p in xs.planes if any(l.events for l in p.lines)]
+        if planes:
+            print("(no device plane in trace; summarizing host planes)")
+    for plane in planes:
         print(f"\n=== plane: {plane.name} ===")
         meta = plane.event_metadata
         for line in plane.lines:
