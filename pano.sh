@@ -40,7 +40,7 @@ usage() {
     echo "  --out <filename>       Output filename (default: result.jpg)"
     echo "  --no-gpu               Force the CPU JAX backend (reference:"
     echo "                         gpu-less build dirs, pano.sh --no-gpu)"
-    echo "  (plus pipeline flags: --mode, --blend, --timing total|stages, --parity, --json, ...)"
+    echo "  (plus pipeline flags: --mode, --blend, --bundle, --timing total|stages, --parity, --json, ...)"
     echo ""
     echo "Examples:"
     echo "  $0 run tpu images/mountain/mountain1.jpg images/mountain/mountain2.jpg"

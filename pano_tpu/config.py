@@ -139,6 +139,15 @@ class StitchOptions:
     #                                ops/warp.py::_estimate_gain; the
     #                                reference pipeline has none). In-graph,
     #                                costs no extra host syncs.
+    bundle_adjust: str = "auto"    # global frame refinement over the full
+    #                                validated pair graph (ops/bundle.py; the
+    #                                cv::Stitcher BA analog the native
+    #                                reference pipelines lack). 'auto' = run
+    #                                when the graph has redundant edges
+    #                                (auto mode's all-pairs graph; tree
+    #                                graphs are already exact), 'on' =
+    #                                always, 'off' = never. Host-side LM
+    #                                solve, milliseconds, zero device syncs.
 
 
 @dataclasses.dataclass(frozen=True)

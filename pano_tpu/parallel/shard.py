@@ -1146,6 +1146,9 @@ def stitch_all_images_auto_sharded(
         f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
         flush=True,
     )
+    globals_h = pipeline.maybe_refine_globals(
+        globals_h, counts, h_edge, root, images, config
+    )
     result = composite_global_sharded(
         [np.asarray(im) for im in images], devs, globals_h, config,
         mesh=mesh, anchor=root,

@@ -1223,10 +1223,54 @@ def stitch_all_images_auto(
         f"Auto-ordering: root image {root + 1}, placed {n_placed} of {n}",
         flush=True,
     )
+    globals_h = maybe_refine_globals(
+        globals_h, counts, h_edge, root, images, config
+    )
     result = composite_global(images, devs, globals_h, config, anchor=root)
     if print_timing:
         print_stage(_suffix("Total Stitching Process", timing_tag), t.elapsed())
     return result
+
+
+def maybe_refine_globals(
+    globals_h: List[Optional[np.ndarray]],
+    counts: np.ndarray,
+    h_edge: dict,
+    root: int,
+    images: List[np.ndarray],
+    config: PanoConfig,
+    verbose: bool = True,
+) -> List[Optional[np.ndarray]]:
+    """Global bundle refinement gate shared by the local and sharded auto
+    modes (the cv::Stitcher bundle-adjustment analog the reference's native
+    pipelines lack, /root/reference/src/opencv/main.cpp:59-67; solver in
+    ops/bundle.py). config.stitch.bundle_adjust: 'off' = never; 'auto'
+    (default) = only when the validated pair graph carries redundant edges
+    beyond the spanning tree (otherwise the tree globals already satisfy
+    every constraint exactly); 'on' = always. Host-side math — zero device
+    syncs."""
+    from pano_tpu.ops import bundle
+
+    mode = getattr(config.stitch, "bundle_adjust", "auto")
+    if mode == "off" or not h_edge:
+        return globals_h
+    edges = {
+        (i, j): (h, float(counts[i, j])) for (i, j), h in h_edge.items()
+    }
+    if mode == "auto" and not bundle.graph_has_cycle(
+        edges, len(images), root, globals_h
+    ):
+        return globals_h
+    shapes = [tuple(int(s) for s in im.shape[:2]) for im in images]
+    refined, stats = bundle.refine_globals(globals_h, edges, root, shapes)
+    if verbose:
+        print(
+            "Bundle refinement: rms "
+            f"{stats['rms_before']:.3f} -> {stats['rms_after']:.3f} px "
+            f"over {int(stats['n_residuals']) // 2} constraints",
+            flush=True,
+        )
+    return refined
 
 
 def max_spanning_tree_globals(
