@@ -47,7 +47,14 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH, TW = 128, 512          # score tile per grid step
+TH, TW = 128, 512          # score tile per grid step. Tile-width A/B on
+#                            the 4K mountain pair (round 5, same session):
+#                            TW=256 halves the last-tile column waste
+#                            (4608 -> 4352 columns for the 4156-px image)
+#                            but measured SLOWER end-to-end — device
+#                            compute 7.82 -> 7.90 ms — the doubled per-tile
+#                            fixed costs (DMA issues, scalar bounds, chunk
+#                            prologues) outweigh the ~5% compute saving.
 PAD_R, PAD_C = 8, 128      # gray image offset inside the padded array
 WIN_R, WIN_C = TH + 16, TW + 256   # DMA window (halo 4 within the offsets)
 

@@ -309,17 +309,37 @@ def _interpreted_trace() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
+def _warp_kernel(params_ref, *rest,
                  has_alpha: bool = True, emit_weight: bool = True,
-                 interp: bool = False, rv: int = RV):
-    w_and_scratch = list(w_and_scratch)
-    if emit_weight:
-        w_ref = w_and_scratch.pop(0)
+                 interp: bool = False, rv: int = RV,
+                 compose: bool = False, hl: int = 0, wl: int = 0,
+                 nlb_y: int = 0, nlb_x: int = 0,
+                 nwb_y: int = 0, nwb_x: int = 0):
+    rest = list(rest)
+    if compose:
+        # Fused warp + overlay composite (canvas-direct): the grid covers
+        # the WHOLE canvas; warped pixels blend against the base (left
+        # placement) in-register and the kernel writes final u8 canvas
+        # tiles — the packed-RGB window (~64 MB on a 4K canvas) never
+        # exists, killing its HBM write + compose-pass re-read
+        # (BASELINE.md round-4 'deferred warp+compose fusion' note).
+        blk_ref = rest.pop(0)   # (4,) i32 [ty_b, tx_b, wy_b, wx_b]
+        src_ref = rest.pop(0)
+        left_ref = rest.pop(0)  # (3, TH, TW) u8 block (clamped index map)
+        out_ref = rest.pop(0)   # (3, TH, TW) u8 canvas block
+        rgb_ref = w_ref = None
     else:
-        # Overlay compose never reads the weight map (warped-pixel
-        # validity is rgb != 0): skip the (out_h, out_w) f32 store — 62 MB
-        # of dead HBM traffic on a 4K canvas window.
-        w_ref = None
+        blk_ref = left_ref = out_ref = None
+        src_ref = rest.pop(0)
+        rgb_ref = rest.pop(0)
+        if emit_weight:
+            w_ref = rest.pop(0)
+        else:
+            # Overlay compose never reads the weight map (warped-pixel
+            # validity is rgb != 0): skip the (out_h, out_w) f32 store —
+            # 62 MB of dead HBM traffic on a 4K canvas window.
+            w_ref = None
+    w_and_scratch = rest
     s_vmem, win_org = w_and_scratch[0], w_and_scratch[1]
     if interp:
         # Interpret-only roundtrip buffers — see _interpreted_trace.
@@ -406,10 +426,6 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         )
         return wy, wx
 
-    step = (bb * n_i + ti) * n_j + tj
-    slot = lax.rem(step, 2)
-    next_slot = lax.rem(step + 1, 2)
-
     def start_dma(bbb, tii, tjj, into_slot):
         wy, wx = window_start(bbb, tii, tjj)
         # Stash the origin the DMA ACTUALLY used: the compute phase reads it
@@ -425,24 +441,65 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
             sem.at[into_slot],
         ).start()
 
-    @pl.when(step == 0)
-    def _():
-        start_dma(bb, ti, tj, slot)
+    def _wait_dma(slot_):
+        pltpu.make_async_copy(
+            src_ref.at[0, pl.ds(0, WIN_H), pl.ds(0, WIN_W)],  # shape-only
+            s_vmem.at[slot_],
+            sem.at[slot_],
+        ).wait()
 
-    # Prefetch the next tile's window while this tile computes (straight
-    # across batch boundaries — the next tile may belong to image bb+1).
-    @pl.when(step + 1 < nb * n_i * n_j)
-    def _():
-        s1 = step + 1
-        bb1 = s1 // (n_i * n_j)
-        r1 = s1 - bb1 * (n_i * n_j)
-        start_dma(bb1, r1 // n_j, lax.rem(r1, n_j), next_slot)
+    if compose:
+        # The grid covers the CANVAS; source-window DMAs run only for tiles
+        # inside the validated warp-window rectangle (every content-bearing
+        # tile is inside it — the fused path's `safe` predicate). Window
+        # tiles are visited in grid order, so their window-local ordinal
+        # reproduces the per-step two-slot double buffering: tile k waits
+        # on the DMA tile k-1 issued and prefetches tile k+1.
+        ty_b, tx_b = blk_ref[0], blk_ref[1]
+        wy_b, wx_b = blk_ref[2], blk_ref[3]
+        in_win = (
+            (ti >= wy_b) & (ti < wy_b + nwb_y)
+            & (tj >= wx_b) & (tj < wx_b + nwb_x)
+        )
+        ordinal = (ti - wy_b) * nwb_x + (tj - wx_b)
+        slot = lax.rem(ordinal, 2)
+        next_slot = lax.rem(ordinal + 1, 2)
 
-    pltpu.make_async_copy(
-        src_ref.at[0, pl.ds(0, WIN_H), pl.ds(0, WIN_W)],  # shape-only wait
-        s_vmem.at[slot],
-        sem.at[slot],
-    ).wait()
+        @pl.when(in_win & (ordinal == 0))
+        def _():
+            start_dma(bb, ti, tj, slot)
+
+        last_col = wx_b + nwb_x - 1
+        nti = jnp.where(tj < last_col, ti, ti + 1)
+        ntj = jnp.where(tj < last_col, tj + 1, wx_b)
+
+        @pl.when(in_win & (ordinal + 1 < nwb_y * nwb_x))
+        def _():
+            start_dma(bb, nti, ntj, next_slot)
+
+        @pl.when(in_win)
+        def _():
+            _wait_dma(slot)
+    else:
+        in_win = None
+        step = (bb * n_i + ti) * n_j + tj
+        slot = lax.rem(step, 2)
+        next_slot = lax.rem(step + 1, 2)
+
+        @pl.when(step == 0)
+        def _():
+            start_dma(bb, ti, tj, slot)
+
+        # Prefetch the next tile's window while this tile computes (straight
+        # across batch boundaries — the next tile may belong to image bb+1).
+        @pl.when(step + 1 < nb * n_i * n_j)
+        def _():
+            s1 = step + 1
+            bb1 = s1 // (n_i * n_j)
+            r1 = s1 - bb1 * (n_i * n_j)
+            start_dma(bb1, r1 // n_j, lax.rem(r1, n_j), next_slot)
+
+        _wait_dma(slot)
 
     wy0 = win_org[slot, 0]   # the origin this slot's DMA used (see start_dma)
     wx0 = win_org[slot, 1]
@@ -476,14 +533,39 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
         & (t_sy_min < real_h + 1.5)
     )
 
-    @pl.when(jnp.logical_not(tile_hits))
-    def _():
-        rgb_ref[...] = jnp.zeros((1, TH, TW), jnp.int32)
-        if emit_weight:
-            w_ref[...] = jnp.zeros((1, TH, TW), jnp.float32)
+    if compose:
+        # Base tile — the compose kernel's left-placement logic in-register:
+        # the left image's pixels where this canvas tile overlaps the
+        # translated left rect (ragged edge masked per pixel), else zeros.
+        run_tile = in_win & tile_hits
+        bly = (
+            lax.broadcasted_iota(jnp.int32, (TH, TW), 0) + (ti - ty_b) * TH
+        )
+        blx = (
+            lax.broadcasted_iota(jnp.int32, (TH, TW), 1) + (tj - tx_b) * TW
+        )
+        in_left = (
+            (ti >= ty_b) & (ti < ty_b + nlb_y)
+            & (tj >= tx_b) & (tj < tx_b + nlb_x)
+        )
+        left_px = in_left & (bly < hl) & (blx < wl)
+        base = jnp.where(left_px[None, :, :], left_ref[...], jnp.uint8(0))
+
+        @pl.when(jnp.logical_not(run_tile))
+        def _():
+            out_ref[...] = base
+    else:
+        run_tile = tile_hits
+        base = None
+
+        @pl.when(jnp.logical_not(tile_hits))
+        def _():
+            rgb_ref[...] = jnp.zeros((1, TH, TW), jnp.int32)
+            if emit_weight:
+                w_ref[...] = jnp.zeros((1, TH, TW), jnp.float32)
 
     # --- per-chunk two-pass resample -----------------------------------
-    def chunk_body(c, _):
+    def chunk_body(c, c_static):
         roy = (
             lax.broadcasted_iota(jnp.int32, (8, TW), 0).astype(jnp.float32)
             + (ti * TH + c * 8).astype(jnp.float32) + off_y
@@ -685,18 +767,32 @@ def _warp_kernel(params_ref, src_ref, rgb_ref, *w_and_scratch,
             | (((acc_lo >> 23) & 0xFF) << 16)  # R
         )
 
-        rgb_ref[0, pl.ds(c * 8, 8), :] = packed
-        if emit_weight:
-            w_ref[0, pl.ds(c * 8, 8), :] = alpha_w
+        if compose:
+            # Overlay blend in-register (src/serial/main.cpp:380-386 / the
+            # compose kernel's _blend_tile): any non-(0,0,0) warped pixel
+            # overwrites the base; the final u8 canvas slab is the ONLY
+            # HBM store — no packed-RGB window ever exists.
+            nbm = packed != 0
+            slab = slice(c_static * 8, c_static * 8 + 8)
+            for ch, shift in enumerate((0, 8, 16)):
+                out_ref[ch, pl.ds(c * 8, 8), :] = jnp.where(
+                    nbm,
+                    ((packed >> shift) & 0xFF).astype(jnp.uint8),
+                    base[ch, slab, :],
+                )
+        else:
+            rgb_ref[0, pl.ds(c * 8, 8), :] = packed
+            if emit_weight:
+                w_ref[0, pl.ds(c * 8, 8), :] = alpha_w
         return 0
 
-    @pl.when(tile_hits)
+    @pl.when(run_tile)
     def _():
         # Fully unrolled (16 chunks): a lax.fori_loop here was measured
         # 3+ ms slower on the 4K window — the loop boundary serializes
         # Mosaic's scheduling; unrolling restores cross-chunk ILP.
         for _c in range(TH // 8):
-            chunk_body(jnp.int32(_c), 0)
+            chunk_body(jnp.int32(_c), _c)
 
 
 def make_params(
@@ -855,6 +951,104 @@ def warp_packed(
     if emit_weight:
         return out[0], out[1]
     return out[0], None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("win_h", "win_w", "pad_h", "pad_w", "rv"),
+)
+def warp_compose_overlay(
+    src_packed: jnp.ndarray,   # (Hp, Wp) int32 from pack_bgra
+    params: jnp.ndarray,       # (13,) f32 — make_params(m_inv, 0, 0, hr,
+    #                            wr): the output frame IS the canvas
+    left: jnp.ndarray,         # (hl, wl, 3) uint8
+    ty: jnp.ndarray,           # () int32 left placement — TH multiple
+    tx: jnp.ndarray,           # () int32 — TW multiple
+    wy0: jnp.ndarray,          # () int32 validated window origin — TH mult
+    wx0: jnp.ndarray,          # () int32 — TW multiple
+    win_h: int,                # static validated window extent (TH mult)
+    win_w: int,                # (TW multiple)
+    pad_h: int,                # static canvas dims (TH/TW multiples)
+    pad_w: int,
+    rv: int = RV,
+) -> jnp.ndarray:
+    """Fused warp + overlay composite: ONE canvas pass, no RGB window.
+
+    The separate warp-then-compose pipeline materializes a packed-RGB
+    window (~64 MB for a 4K canvas) that the compose kernel immediately
+    re-reads — pure HBM round-trip. Here the warp kernel's grid covers the
+    whole canvas: window tiles run the two-pass resample and overlay-blend
+    against the base (the left placement, computed in-register exactly as
+    pallas_compose._compose_kernel does) and every other tile is the plain
+    base copy, so the u8 canvas is the only large store. Source-window
+    DMAs are scheduled over the validated window rectangle only (see
+    _warp_kernel's compose branch). Byte-identical to
+    warp_packed(emit_weight=False) + compose_canvas(blend='overlay') —
+    the select consumes the same requantized ints the packer would have
+    packed (parity-tested in interpret mode and on hardware).
+
+    (wy0, wx0, win_h, win_w) is the window rect the caller validated with
+    envelope_ok_device — content-bearing tiles outside it would be dropped,
+    exactly like the window-output variant, and the fused path's `safe`
+    predicate already guarantees containment.
+
+    Returns the (pad_h, pad_w, 3) uint8 canvas.
+    """
+    assert pad_h % TH == 0 and pad_w % TW == 0, (pad_h, pad_w)
+    assert win_h % TH == 0 and win_w % TW == 0, (win_h, win_w)
+    hl, wl = left.shape[:2]
+    # (hl, wl, 3) u8 lives as {1,0,2} (planar) on TPU: a layout bitcast.
+    left_chw = jnp.transpose(left, (2, 0, 1))
+    nlb_y = -(-hl // TH)
+    nlb_x = -(-wl // TW)
+    nwb_y = win_h // TH
+    nwb_x = win_w // TW
+    blk = jnp.stack(
+        [ty // TH, tx // TW, wy0 // TH, wx0 // TW]
+    ).astype(jnp.int32)
+    grid = (1, pad_h // TH, pad_w // TW)
+    interp = _interpreted_trace()
+    scratch = [
+        pltpu.VMEM((2, WIN_H, WIN_W), jnp.int32),
+        pltpu.SMEM((2, 2), jnp.int32),
+    ]
+    if interp:
+        scratch += [
+            pltpu.VMEM((8, VW), jnp.int32),
+            pltpu.VMEM((8, VW), jnp.float32),
+            pltpu.VMEM((8, TW), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    def left_map(b, i, j, p, s):
+        return (
+            0,
+            jnp.clip(i - s[0], 0, nlb_y - 1),
+            jnp.clip(j - s[1], 0, nlb_x - 1),
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _warp_kernel, has_alpha=False, emit_weight=False,
+            interp=interp, rv=rv, compose=True, hl=hl, wl=wl,
+            nlb_y=nlb_y, nlb_x=nlb_x, nwb_y=nwb_y, nwb_x=nwb_x,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((3, TH, TW), left_map),
+            ],
+            out_specs=pl.BlockSpec(
+                (3, TH, TW), lambda b, i, j, p, s: (0, i, j)
+            ),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, pad_h, pad_w), jnp.uint8),
+    )(params.astype(jnp.float32)[None], blk, src_packed[None], left_chw)
+    # Back to HWC — a layout bitcast on TPU.
+    return jnp.transpose(out, (1, 2, 0))
 
 
 def unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:

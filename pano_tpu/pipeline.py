@@ -525,6 +525,37 @@ class PairStitcher:
         )
 
         has_alpha = cfg.blend in ("feather", "multiband")
+        if cfg.blend == "overlay" and not cfg.gain_compensation:
+            # Fully fused warp + overlay composite: one canvas pass, no
+            # intermediate packed-RGB window (its ~64 MB HBM write + the
+            # compose pass's re-read were the last structural cost on the
+            # default path — BASELINE.md round-4 'deferred fusion' note).
+            # Byte-identical to the warp_packed + compose_canvas pipeline
+            # below (parity-tested); the envelope/safe machinery above is
+            # unchanged — the kernel schedules its source DMAs over the
+            # same validated (wy0, wx0, win_h, win_w) rect.
+            canvas = pallas_warp.warp_compose_overlay(
+                packed_src,
+                pallas_warp.make_params(m_inv, 0, 0, hr, wr),
+                left, ty, tx, wy0, wx0, win_h, win_w, pad_h, pad_w, rv=rv,
+            )
+            packed_out = jnp.concatenate(
+                [
+                    packed,
+                    jnp.stack(
+                        [
+                            min_x,
+                            min_y,
+                            canvas_h,
+                            canvas_w,
+                            safe.astype(jnp.float32),
+                            crop_y.astype(jnp.float32),
+                            crop_x.astype(jnp.float32),
+                        ]
+                    ),
+                ]
+            )
+            return packed_out, canvas
         # Overlay-without-gain never reads the warped weight map (validity
         # is rgb != 0): drop the kernel's f32 weight output entirely.
         need_w = cfg.blend != "overlay" or cfg.gain_compensation

@@ -468,3 +468,43 @@ def test_sharded_composite_runs_warp_kernel_on_tpu():
         assert kern[b].shape == xla[b].shape
         db = np.abs(kern[b].astype(int) - xla[b].astype(int)).max(-1)
         assert (db > 3).mean() < 0.01, (b, db.max(), (db > 3).mean())
+
+
+def test_warp_compose_overlay_fused_on_tpu():
+    """The fused warp+overlay canvas kernel (Mosaic lowering) must be
+    byte-identical to the warp_packed -> compose_canvas pipeline it
+    replaces — the interpret-mode twin lives in test_pallas_warp.py."""
+    from pano_tpu.ops import pallas_compose as PC
+    from pano_tpu.ops import pallas_warp as PW
+
+    r = np.random.default_rng(23)
+    hl, wl, hr, wr = 200, 520, 200, 300
+    win_h, win_w, pad_h, pad_w = 256, 512, 384, 768
+    ty, tx, wy0, wx0 = 128, 256, 128, 256
+    left = jnp.asarray(r.integers(0, 256, (hl, wl, 3)).astype(np.uint8))
+    right = r.integers(0, 256, (hr, wr, 3)).astype(np.uint8)
+    m = np.array(
+        [[0.98, 0.015, 300.0], [-0.01, 1.01, 140.0], [1.5e-5, -1e-5, 1.0]]
+    )
+    m_inv = np.linalg.inv(m)
+    packed = PW.pack_bgra(jnp.asarray(right))
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+    fused = np.asarray(
+        PW.warp_compose_overlay(
+            packed, PW.make_params(m_inv, 0.0, 0.0, hr, wr), left,
+            i32(ty), i32(tx), i32(wy0), i32(wx0),
+            win_h, win_w, pad_h, pad_w,
+        )
+    )
+    rgb_win, _ = PW.warp_packed(
+        packed, PW.make_params(m_inv, float(wx0), float(wy0), hr, wr),
+        win_h, win_w, has_alpha=False, emit_weight=False,
+    )
+    pipe = np.asarray(
+        PC.compose_canvas(
+            left, rgb_win, None, i32(ty), i32(tx), i32(wy0), i32(wx0),
+            pad_h, pad_w, "overlay",
+        )
+    )
+    np.testing.assert_array_equal(fused, pipe)

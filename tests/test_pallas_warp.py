@@ -340,3 +340,73 @@ def test_vmapped_warp_matches_single_warps():
                                       np.asarray(singles[i][0]))
         np.testing.assert_array_equal(np.asarray(w_b[i]),
                                       np.asarray(singles[i][1]))
+
+
+def _fused_case(seed, hl, wl, hr, wr, m, ty, tx, wy0, wx0,
+                win_h, win_w, pad_h, pad_w):
+    """Run warp_compose_overlay AND the two-kernel pipeline it fuses
+    (warp_packed emit_weight=False -> compose_canvas overlay); both in
+    interpret mode. Returns (fused, pipeline) canvases."""
+    from pano_tpu.ops import pallas_compose as PC
+
+    r = np.random.default_rng(seed)
+    left = r.integers(0, 256, (hl, wl, 3)).astype(np.uint8)
+    right = r.integers(0, 256, (hr, wr, 3)).astype(np.uint8)
+    m_inv = np.linalg.inv(m)
+    packed = PW.pack_bgra(jnp.asarray(right))
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = np.asarray(
+            PW.warp_compose_overlay(
+                packed,
+                PW.make_params(m_inv, 0.0, 0.0, hr, wr),
+                jnp.asarray(left),
+                i32(ty), i32(tx), i32(wy0), i32(wx0),
+                win_h, win_w, pad_h, pad_w,
+            )
+        )
+        rgb_win, _ = PW.warp_packed(
+            packed, PW.make_params(m_inv, float(wx0), float(wy0), hr, wr),
+            win_h, win_w, has_alpha=False, emit_weight=False,
+        )
+        pipe = np.asarray(
+            PC.compose_canvas(
+                jnp.asarray(left), rgb_win, None,
+                i32(ty), i32(tx), i32(wy0), i32(wx0),
+                pad_h, pad_w, "overlay",
+            )
+        )
+    return fused, pipe
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        # (m translate/projective, placements) — window at origin, interior,
+        # and flush against the canvas edge; left ragged.
+        dict(m=np.array([[1.0, 0.0, 40.5], [0.0, 1.0, 12.25],
+                         [0.0, 0.0, 1.0]]),
+             ty=0, tx=0, wy0=0, wx0=0, win=(256, 512), pad=(384, 768)),
+        dict(m=np.array([[0.98, 0.015, 300.0], [-0.01, 1.01, 140.0],
+                         [1.5e-5, -1e-5, 1.0]]),
+             ty=128, tx=256, wy0=128, wx0=256, win=(256, 512),
+             pad=(384, 768)),
+        dict(m=np.array([[1.0, 0.0, 500.0], [0.0, 1.0, 250.0],
+                         [0.0, 0.0, 1.0]]),
+             ty=0, tx=0, wy0=128, wx0=256, win=(256, 512), pad=(384, 768)),
+    ],
+)
+def test_warp_compose_overlay_matches_two_kernel_pipeline(case):
+    """The fused warp+overlay canvas kernel must be BYTE-IDENTICAL to the
+    warp_packed -> compose_canvas pipeline it replaces (same requantized
+    ints, same overlay select) — including base-copy tiles outside the
+    window and off-image tiles inside it."""
+    hl, wl, hr, wr = 200, 520, 200, 300
+    win_h, win_w = case["win"]
+    pad_h, pad_w = case["pad"]
+    fused, pipe = _fused_case(
+        11, hl, wl, hr, wr, case["m"], case["ty"], case["tx"],
+        case["wy0"], case["wx0"], win_h, win_w, pad_h, pad_w,
+    )
+    np.testing.assert_array_equal(fused, pipe)
