@@ -200,9 +200,9 @@ def test_serve_decode_ahead_prefetches_next_job(scene_dir, tmp_path, monkeypatch
     seen = []
     real_run = cli.run
 
-    def spy(impl, args, config=None, _info=None, _preloaded=None):
+    def spy(impl, args, config=None, _info=None, _preloaded=None, **kw):
         seen.append(None if _preloaded is None else sorted(_preloaded))
-        return real_run(impl, args, _info=_info, _preloaded=_preloaded)
+        return real_run(impl, args, _info=_info, _preloaded=_preloaded, **kw)
 
     monkeypatch.setattr(cli, "run", spy)
     jobs = io.StringIO(
