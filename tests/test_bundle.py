@@ -179,3 +179,43 @@ def edges_h(edges):
     """pipeline.maybe_refine_globals takes h_edge {(i,j): H}; weights come
     from the counts matrix."""
     return {k: h for k, (h, _) in edges.items()}
+
+
+def test_sharded_auto_runs_bundle_gate(capsys, monkeypatch):
+    """The SHARDED auto mode must route through the same refinement gate as
+    the local one (pipeline.maybe_refine_globals) — guard against the twin
+    drifting."""
+    import jax
+    import numpy as np
+
+    from pano_tpu import pipeline
+    from pano_tpu.parallel import shard
+
+    calls = []
+    real = pipeline.maybe_refine_globals
+
+    def spy(globals_h, counts, h_edge, root, images, config, **kw):
+        calls.append(len(h_edge))
+        return real(globals_h, counts, h_edge, root, images, config, **kw)
+
+    monkeypatch.setattr(pipeline, "maybe_refine_globals", spy)
+
+    r = np.random.default_rng(3)
+    base = np.full((96, 300, 3), 30, np.uint8)
+    for _ in range(160):
+        y, x = r.integers(4, 88), r.integers(4, 292)
+        base[y : y + 6, x : x + 6] = r.integers(60, 255, 3)
+    imgs = [base[:, 0:160], base[:, 70:230], base[:, 140:300]]
+
+    from pano_tpu.config import HarrisOptions, PanoConfig, RansacOptions
+
+    cfg = PanoConfig(
+        harris=HarrisOptions(max_keypoints=512),
+        ransac=RansacOptions(num_iterations=512),
+    )
+    mesh = shard.make_mesh(n_data=8, n_hyp=1)
+    pano = shard.stitch_all_images_auto_sharded(
+        imgs, cfg, mesh=mesh, print_timing=False
+    )
+    assert pano is not None
+    assert calls and calls[0] >= 2  # the gate saw the validated edge graph
