@@ -1385,6 +1385,54 @@ def global_canvas_geometry(
     return t_mat, canvas_h, canvas_w, pad_h, pad_w
 
 
+@functools.lru_cache(maxsize=128)
+def _chain_warp_compose_graph(
+    mip: int, hs: int, ws: int, win_h: int, win_w: int,
+    pad_h: int, pad_w: int, blend: str, rv: int,
+    kernel_compose: bool, gain: bool,
+):
+    """Shape-memoized jitted per-image step of the global composite's
+    kernel route: (canvas, weight_canvas, img, params (13,), org (2,)) ->
+    updated (canvas, weight_canvas) as ONE device dispatch — downsample
+    to the mip level, pack BGRA (+feather ramp alpha), Pallas warp, then
+    either the one-pass chain compose kernel or the XLA window blend
+    (multiband / gain / unaligned windows). Memoization keys on every
+    static the graph closes over, so repeated chain jobs re-trace
+    nothing (the get_pair_stitcher pattern)."""
+    use_alpha = blend in ("feather", "multiband")
+
+    def step(canvas, weight_canvas, img, params, org):
+        src = img if mip == 0 else warp_ops.downsample_pow2(img, mip)
+        alpha = warp_ops._edge_ramp(hs, ws) if use_alpha else None
+        packed = pallas_warp.pack_bgra(src, alpha)
+        rgb_win, w_win = pallas_warp.warp_packed(
+            packed, params, win_h, win_w, has_alpha=use_alpha, rv=rv
+        )
+        wy0, wx0 = org[0], org[1]
+        if kernel_compose:
+            # One-pass pallas chain composite: canvas + weight canvas
+            # updated together, no window slice/update-slice round trips
+            # (the caller aligned wy0/wx0 to (BTY, BTX) for this).
+            return pallas_compose.compose_chain_canvas(
+                canvas, weight_canvas, rgb_win, w_win, wy0, wx0, blend
+            )
+        zero = jnp.asarray(0, jnp.int32)
+        w_left_win = jax.lax.dynamic_slice(
+            weight_canvas, (wy0, wx0), (win_h, win_w)
+        )
+        canvas, new_w = warp_ops.blend_window_outputs(
+            canvas, rgb_win, w_win, zero, zero, wx0, wy0,
+            pad_h, pad_w, win_h, win_w, blend,
+            w_left_win=w_left_win, gain=gain,
+        )
+        weight_canvas = jax.lax.dynamic_update_slice(
+            weight_canvas, new_w, (wy0, wx0)
+        )
+        return canvas, weight_canvas
+
+    return jax.jit(step)
+
+
 def composite_global(
     images: List[np.ndarray],
     devs: List[jnp.ndarray],
@@ -1472,73 +1520,35 @@ def composite_global(
             else None
         )
         if mip is not None:
-            src = (
-                devs[i] if mip == 0
-                else warp_ops.downsample_pow2(devs[i], mip)
-            )
             hs, ws = hr >> mip, wr >> mip
             m_inv_lvl = pallas_warp.mip_m_inv(m_inv, mip)
-            alpha = None
-            if cfg.blend in ("feather", "multiband"):
-                alpha = warp_ops._edge_ramp(hs, ws)
-            packed = pallas_warp.pack_bgra(src, alpha)
-            params = pallas_warp.make_params(m_inv_lvl, wx0, wy0, hs, ws)
             rv = pallas_warp.pick_rv(
                 m_inv_lvl, win_h, win_w, off_x=wx0, off_y=wy0
             )
-            rgb_win, w_win = pallas_warp.warp_packed(
-                packed, params, win_h, win_w, has_alpha=alpha is not None,
-                rv=rv,
-            )
-            if (
+            kernel_compose = (
                 cfg.blend in ("overlay", "feather")
                 and not cfg.gain_compensation
                 and wy0 % pallas_compose.BTY == 0
                 and wx0 % pallas_compose.BTX == 0
                 and win_w % pallas_compose.BTX == 0
-            ):
-                # One-pass pallas chain composite: canvas + weight canvas
-                # updated together, no window slice/update-slice round
-                # trips (wy0/wx0 are (BTY, BTX)-aligned above for this).
-                canvas, weight_canvas = pallas_compose.compose_chain_canvas(
-                    canvas,
-                    weight_canvas,
-                    rgb_win,
-                    w_win,
-                    jnp.asarray(wy0, jnp.int32),
-                    jnp.asarray(wx0, jnp.int32),
-                    cfg.blend,
-                )
-            else:
-                w_left_win = jax.lax.dynamic_slice(
-                    weight_canvas,
-                    (
-                        jnp.asarray(wy0, jnp.int32),
-                        jnp.asarray(wx0, jnp.int32),
-                    ),
-                    (win_h, win_w),
-                )
-                canvas, new_w = warp_ops.blend_window_outputs(
-                    canvas,
-                    rgb_win,
-                    w_win,
-                    zero,
-                    zero,
-                    jnp.asarray(wx0, jnp.int32),
-                    jnp.asarray(wy0, jnp.int32),
-                    pad_h,
-                    pad_w,
-                    win_h,
-                    win_w,
-                    cfg.blend,
-                    w_left_win=w_left_win,
-                    gain=cfg.gain_compensation,
-                )
-                weight_canvas = jax.lax.dynamic_update_slice(
-                    weight_canvas,
-                    new_w,
-                    (jnp.asarray(wy0, jnp.int32), jnp.asarray(wx0, jnp.int32)),
-                )
+            )
+            # ONE jitted dispatch per image (downsample + pack + warp +
+            # chain compose; shape-memoized graph) — the inline eager
+            # formulation paid ~10 separate executable launches per image
+            # (pack, per-scalar param casts, compose plumbing), each a
+            # ~2.5 ms tunnel launch on the rig. Params assemble on the
+            # host (make_params_host) and enter via one device_put.
+            step = _chain_warp_compose_graph(
+                mip, hs, ws, win_h, win_w, pad_h, pad_w, cfg.blend, rv,
+                kernel_compose, cfg.gain_compensation,
+            )
+            params = jax.device_put(
+                pallas_warp.make_params_host(m_inv_lvl, wx0, wy0, hs, ws)
+            )
+            org = jax.device_put(np.asarray([wy0, wx0], np.int32))
+            canvas, weight_canvas = step(
+                canvas, weight_canvas, devs[i], params, org
+            )
         else:
             canvas = warp_ops.warp_and_blend(
                 canvas,
