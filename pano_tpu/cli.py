@@ -430,7 +430,15 @@ def run(
         # status-line contract (status == file durably written).
         out_file = reader.output_file
         pano_out = panorama
-        fut = _encode_async(lambda: imwrite_bgr(out_file, pano_out))
+
+        def _encode():
+            # imwrite returns False on codec/path failure without raising;
+            # surface it so the drained status line reports 'failed'
+            # instead of claiming a file that is not on disk.
+            if not imwrite_bgr(out_file, pano_out):
+                raise IOError(f"imwrite failed: {out_file}")
+
+        fut = _encode_async(_encode)
         if _info is not None:
             _info["encode_future"] = fut
     else:

@@ -471,3 +471,26 @@ def test_bundle_flag_reaches_config(scene_dir, tmp_path):
     assert s["config"]["stitch"]["bundle_adjust"] == "off"
     with pytest.raises(SystemExit):
         cli.run("serial", ["--bundle", "sometimes", "x.jpg", "y.jpg"])
+
+
+def test_serve_encode_behind_reports_failed_write(scene_dir, tmp_path, capsys):
+    """A deferred encode whose imwrite fails (unwritable path) must turn
+    the job's status line into 'failed' — status == file-on-disk."""
+    import io
+
+    a1 = os.path.join(scene_dir, "a1.png")
+    a2 = os.path.join(scene_dir, "a2.png")
+    bad_out = str(tmp_path / "no_such_dir" / "x.jpg")  # parent missing
+    good_out = str(tmp_path / "ok.jpg")
+    jobs = io.StringIO(
+        f"{a1} {a2} --out {bad_out}\n"
+        f"{a1} {a2} --out {good_out}\n"
+        "quit\n"
+    )
+    rc = cli.serve("serial", ["--kpts", "256"], stdin=jobs)
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert f"Job 1 failed {bad_out}:" in stdout
+    assert f"Job 2 ok {good_out}:" in stdout
+    assert not os.path.exists(bad_out)
+    assert os.path.exists(good_out)
