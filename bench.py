@@ -66,8 +66,41 @@ def _require_backend():
         time.sleep(60)
 
 
+def _arm_watchdog():
+    """Fail-fast guard for the tunnel's OTHER outage mode: init succeeds
+    (jax.devices() in 0.2 s) but every execution round trip hangs
+    (observed 2026-08-20, for hours). A hung bench would stall the driver
+    indefinitely; instead print a diagnostic JSON line and exit 3 after
+    PANO_BENCH_WATCHDOG_SECS (default 900 — a cold-cache bench with
+    compiles measured ~6 min, so 15 min is outage, not work). Returns a
+    cancel() to disarm once the result is printed."""
+    import threading
+
+    secs = float(os.environ.get("PANO_BENCH_WATCHDOG_SECS", "900"))
+
+    def _fire():
+        print(
+            json.dumps(
+                {
+                    "error": (
+                        f"device execution hung > {secs:.0f}s "
+                        "(axon tunnel outage); aborting bench"
+                    )
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(secs, _fire)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
 def main():
     _require_backend()
+    _disarm = _arm_watchdog()
 
     import jax
 
@@ -155,6 +188,7 @@ def main():
     }
     if device_ms is not None:
         out["device_compute_ms"] = round(device_ms, 3)
+    _disarm()
     print(json.dumps(out))
     return 0
 
